@@ -1,0 +1,235 @@
+"""Self-consistent field driver (reference ``source/self.f90 run`` :676-764).
+
+Per iteration: recursion (device) -> LDOS/Green -> Fermi -> moments ->
+mixing -> Madelung -> atomic-sphere SCF (host) -> orthogonal->TB transform
+-> convergence check.  Produces the reference's observable outputs:
+``totaldos.out`` rows and ``<El>_out.nml`` checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..atoms.potential import SymbolicAtom
+from ..config import JobConfig
+from ..physics.atomsphere import atomsc, potpar, racsi
+from ..physics.bands import Bands
+from ..physics.energy_mesh import EnergyMesh
+from ..physics.madelung import MadelungMatrix, bulkpot
+from ..physics.mixer import Mixer
+from ..physics.radial import mesh_b
+from ..utils.logger import g_logger
+from ..utils.namelist import write_namelist
+from ..utils.timer import g_timer
+from .bulk import BulkSystem
+
+ANG2AU = 1.8897259886
+
+
+@dataclass
+class SCFState:
+    converged: bool = False
+    niter: int = 0
+    delta: float = 0.0
+
+
+class SelfConsistency:
+    def __init__(self, sys: BulkSystem, workdir: str = "."):
+        self.sys = sys
+        self.cfg = sys.cfg
+        self.workdir = workdir
+        cl = sys.cluster
+        # recursion atoms -> species index (0-based)
+        self.iz_rec = [int(cl.iz[int(j) - 1]) - 1 for j in cl.irec]
+        self.nrec = cl.nrec
+        self.mix = Mixer(self.nrec, beta=self.cfg.mix.beta,
+                         mixtype=self.cfg.mix.mixtype)
+        qqv = sum(sys.atoms[self.iz_rec[i]].element.valence
+                  for i in range(cl.cell.ntot))
+        self.qqv = float(qqv)
+        self.madelung: Optional[MadelungMatrix] = None
+        if self.cfg.control.calctype == "B":
+            with g_timer.section("madelung-matrix"):
+                self.madelung = MadelungMatrix.bulk(
+                    cl.cell.a, cl.cell.crd, cl.alat
+                )
+        self.fermi = self.cfg.energy.fermi
+        self.state = SCFState()
+
+    # ------------------------------------------------------------------
+    def g0_from_ldos(self, tdens: np.ndarray) -> np.ndarray:
+        """Collinear scalar path: diagonal g0 = -i pi * LDOS
+        (``green%sgreen`` :628-707, nmdir=1 branch).
+
+        tdens: (nrec, 18, NE) -> g0 (nrec, 18, 18, NE) complex.
+        """
+        nrec, _, ne = tdens.shape
+        g0 = np.zeros((nrec, 18, 18, ne), dtype=np.complex128)
+        idx = np.arange(18)
+        g0[:, idx, idx, :] = -1j * np.pi * tdens
+        return g0
+
+    # ------------------------------------------------------------------
+    def run(self, nstep: Optional[int] = None) -> SCFState:
+        cfg = self.cfg
+        sys = self.sys
+        nstep = cfg.scf.nstep if nstep is None else nstep
+        for it in range(1, nstep + 1):
+            g_logger.info(f"SCF iteration {it}/{nstep}")
+            with g_timer.section("recursion-phase"):
+                sys.build_hamiltonian()
+                a, b2 = sys.run_lanczos()
+            self.mix.save_to("old", sys.atoms, self.iz_rec)
+            for ia, isp in enumerate(self.iz_rec):
+                self.mix.mag_old[ia] = sys.atoms[isp].potential.mom
+
+            # ---------------- run_dos -------------------------------
+            with g_timer.section("dos-phase"):
+                emesh = EnergyMesh.build(cfg.energy, fermi=self.fermi)
+                sys.emesh = emesh
+                tdens = sys.ldos(a, b2)
+                g0 = self.g0_from_ldos(tdens)
+                bands = Bands(emesh, sys.atoms, self.iz_rec, self.qqv,
+                              nsp=cfg.control.nsp)
+                bands.calculate_fermi(
+                    g0, fix_fermi=emesh.fix_fermi,
+                    calctype=cfg.control.calctype,
+                )
+                self._write_totaldos(bands, emesh)
+                bands.calculate_magnetic_moments(g0)
+                for ia, isp in enumerate(self.iz_rec):
+                    self.mix.mag_new[ia] = sys.atoms[isp].potential.mom
+                mtot = np.array(
+                    [sys.atoms[isp].potential.mtot for isp in self.iz_rec]
+                )
+                mag_mix = self.mix.mix_magnetic_moments(mtot)
+                for ia, isp in enumerate(self.iz_rec):
+                    sys.atoms[isp].potential.mom = mag_mix[ia]
+                bands.calculate_moments(g0)
+                self.mix.save_to("new", sys.atoms, self.iz_rec)
+                self.fermi = emesh.fermi
+
+            # ---------------- mixing + electrostatics ---------------
+            self.mix.mixpq()
+            dq = self.mix.charge_transfer(sys.atoms, self.iz_rec)
+            if cfg.control.calctype == "B" and self.madelung is not None:
+                iz_bas = [int(z) - 1 for z in sys.cluster.cell.izp]
+                bulkpot(self.madelung.amad, dq, iz_bas, sys.atoms, self.iz_rec)
+            self.mix.save_to("current", sys.atoms, self.iz_rec)
+
+            # ---------------- atomic spheres ------------------------
+            with g_timer.section("atomic-scf"):
+                self.run_scf()
+
+            self.save_checkpoints()
+            self.state.delta = self.mix.delta
+            self.state.niter = it
+            if self.mix.delta < cfg.scf.conv_thr:
+                g_logger.info(f"Converged! delta={self.mix.delta:.3e}")
+                self.state.converged = True
+                break
+            g_logger.info(f"Not converged, delta={self.mix.delta:.6e}")
+        return self.state
+
+    # ------------------------------------------------------------------
+    def run_scf(self):
+        """Per-atom atomic-sphere SCF + potential parameters + predls
+        (``run_scf`` :861-912 and ``lmtst`` :1135-1186)."""
+        cfg = self.cfg
+        wsm = self.sys.cluster.wav * ANG2AU
+        for ia, isp in enumerate(self.iz_rec):
+            at = self.sys.atoms[isp]
+            pot = at.potential
+            res = atomsc(
+                z=at.element.atomic_number,
+                lmax=pot.lmax,
+                a=0.02,
+                ws_r=pot.ws_r,
+                pl=pot.pl,
+                ql=pot.ql,
+                ifcore=at.element.f_core,
+                txc=cfg.control.txc,
+            )
+            pot.etot = res.etot
+            pot.utot = res.utot
+            pot.ekin = res.ekin
+            pot.rhoeps = res.rhoeps
+            pot.sumev = res.sumev
+            pot.sumec = res.sumec
+            qsl = racsi(0.02, mesh_b(pot.ws_r, 0.02, res.nr), res.rofi,
+                        res.fun2, res.vzt)
+            pot.xi_p = np.array([qsl[0], qsl[3]])
+            pot.xi_d = np.array([qsl[1], qsl[4]])
+            pot.rac = np.array([qsl[2], qsl[5]])
+            if pot.ws_r > cfg.scf.ws_max:
+                for k in ("c", "srdel", "qpar", "ppar", "enu", "vl"):
+                    getattr(pot, k)[:] = 0.0
+            else:
+                pot.pnu = pot.pl.copy()
+                out = potpar(at.element.atomic_number, pot.lmax, 0.02,
+                             pot.ws_r, pot.pnu, res.v, res.rofi)
+                pot.enu = out["enu"]
+                pot.c = out["c"]
+                pot.srdel = out["srdel"]
+                pot.qpar = 1.0 / out["qpar"]
+                pot.ppar = out["ppar"]
+                pot.vl = out["vl"]
+            at.potential.predls(wsm)
+
+    # ------------------------------------------------------------------
+    def _write_totaldos(self, bands: Bands, emesh: EnergyMesh):
+        path = os.path.join(self.workdir, "totaldos.out")
+        with open(path, "w") as fh:
+            for i in range(emesh.npts):
+                fh.write(f"{emesh.ene[i] - emesh.fermi:16.5f}"
+                         f"{bands.dtot[i]:16.5f}\n")
+
+    # ------------------------------------------------------------------
+    def save_checkpoints(self):
+        """Write ``<El>_out.nml`` checkpoints (``save_state_scf``)."""
+        for isp in sorted(set(self.iz_rec)):
+            at = self.sys.atoms[isp]
+            pot = at.potential
+            el = at.element
+            out = write_namelist("element", {
+                "f_core": el.f_core,
+                "num_quant_s": el.num_quant_s,
+                "num_quant_p": el.num_quant_p,
+                "num_quant_d": el.num_quant_d,
+                "symbol": el.symbol,
+                "atomic_number": float(el.atomic_number),
+                "core": float(el.core),
+                "valence": float(el.valence),
+            })
+            out += write_namelist("par", {
+                "lmax": pot.lmax,
+                "sumec": pot.sumec,
+                "sumev": pot.sumev,
+                "etot": pot.etot,
+                "utot": pot.utot,
+                "ekin": pot.ekin,
+                "rhoeps": pot.rhoeps,
+                "ws_r": pot.ws_r,
+                "vmad": pot.vmad,
+                "center_band": pot.center_band,
+                "width_band": pot.width_band,
+                "gravity_center": pot.gravity_center,
+                "c": pot.c,
+                "enu": pot.enu,
+                "ppar": pot.ppar,
+                "qpar": pot.qpar,
+                "srdel": pot.srdel,
+                "vl": pot.vl,
+                "pl": pot.pl,
+                "mom": pot.mom,
+                "ql": pot.ql,
+                "xi_p": pot.xi_p,
+                "xi_d": pot.xi_d,
+            })
+            path = os.path.join(self.workdir, f"{at.label}_out.nml")
+            with open(path, "w") as fh:
+                fh.write(out)
