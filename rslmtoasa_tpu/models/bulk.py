@@ -22,7 +22,12 @@ from ..geometry import (
     primitive_cell,
     sbar_for_cluster,
 )
-from ..ops.lanczos import lanczos_coefficients, scalar_start_vectors
+from ..ops.lanczos import (
+    lanczos_coefficients,
+    lanczos_coefficients_split,
+    scalar_start_vectors,
+    split_complex,
+)
 from ..ops.ldos import orbital_density
 from ..physics.energy_mesh import EnergyMesh
 from ..physics.hamiltonian import HamiltonianBlocks, build_bulkham
@@ -97,25 +102,36 @@ class BulkSystem:
         Returns (a, b2) with shape (lld, 18, nrec): per-orbital chains in the
         reference's ordering (9 up-spin then 9 down-spin orbitals).
         """
+        import jax
+
         cl = self.cluster
         hb = self.ham
         lld = self.cfg.control.lld
         rec_atoms = [int(j) - 1 for j in cl.irec]
+        # TPU v5e has no native complex128: use the split-complex f64 path
+        use_split = jax.default_backend() != "cpu"
         with g_timer.section("recursion"):
             a_list = []
             b_list = []
             for s in (0, 1):  # spin channels are decoupled for nsp=1
-                hs = jnp.asarray(
-                    hb.ee[:, :, 9 * s : 9 * (s + 1), 9 * s : 9 * (s + 1)]
-                )
+                blk = hb.ee[:, :, 9 * s : 9 * (s + 1), 9 * s : 9 * (s + 1)]
                 psi0 = scalar_start_vectors(cl.kk, rec_atoms)
-                a, b2 = lanczos_coefficients(
-                    hs,
-                    jnp.asarray(hb.iz),
-                    jnp.asarray(hb.cols),
-                    psi0,
-                    lld,
-                )
+                if use_split:
+                    a, b2 = lanczos_coefficients_split(
+                        split_complex(blk),
+                        jnp.asarray(hb.iz),
+                        jnp.asarray(hb.cols),
+                        split_complex(psi0),
+                        lld,
+                    )
+                else:
+                    a, b2 = lanczos_coefficients(
+                        jnp.asarray(blk),
+                        jnp.asarray(hb.iz),
+                        jnp.asarray(hb.cols),
+                        jnp.asarray(psi0),
+                        lld,
+                    )
                 a_list.append(np.asarray(a))
                 b_list.append(np.asarray(b2))
         nrec = len(rec_atoms)
@@ -128,6 +144,38 @@ class BulkSystem:
             b2[:, 0:9, ia] = b_list[0][:, ia * 9 : (ia + 1) * 9]
             b2[:, 9:18, ia] = b_list[1][:, ia * 9 : (ia + 1) * 9]
         return a, b2
+
+    # ------------------------------------------------------------------
+    def run_block(self):
+        """Block-Lanczos recursion (``recur_b``) for all rec atoms.
+
+        Returns (a_b, b2_b) of shape (lld, nrec, 18, 18).
+        """
+        from ..ops.block_lanczos import block_lanczos, block_start_vectors
+
+        cl = self.cluster
+        hb = self.ham
+        lld = self.cfg.control.lld
+        hoh = self.cfg.hamiltonian.hoh
+        rec_atoms = [int(j) - 1 for j in cl.irec]
+        ntype = hb.ee.shape[0]
+        lsham = hb.lsham if hb.lsham is not None else np.zeros(
+            (ntype, 18, 18), dtype=np.complex128
+        )
+        psi0 = block_start_vectors(cl.kk, rec_atoms)
+        with g_timer.section("block-recursion"):
+            a_b, b2_b = block_lanczos(
+                jnp.asarray(hb.ee),
+                jnp.asarray(lsham),
+                jnp.asarray(hb.iz),
+                jnp.asarray(hb.cols),
+                jnp.asarray(psi0),
+                lld,
+                hoh=hoh,
+                hso=jnp.asarray(hb.eeo) if hoh else None,
+                enim=jnp.asarray(hb.enim) if hoh else None,
+            )
+        return np.asarray(a_b), np.asarray(b2_b)
 
     # ------------------------------------------------------------------
     def ldos(self, a: np.ndarray, b2: np.ndarray):

@@ -1,0 +1,100 @@
+"""Built-in synthetic system presets (no external database files needed).
+
+Used by the benchmark and the compile-check entry points: a bcc
+transition-metal-like species with physically plausible spd band
+parameters (magnitudes typical of 3d metals; values chosen here, not
+taken from any database file).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..atoms.potential import Element, Potential, SymbolicAtom
+from ..config import (
+    AtomsCfg,
+    CalculationCfg,
+    ControlCfg,
+    EnergyCfg,
+    HamiltonianCfg,
+    JobConfig,
+    LatticeCfg,
+    MixCfg,
+    SelfCfg,
+)
+from ..utils.namelist import Namelists
+
+
+def synthetic_bcc_atom(label: str = "X") -> SymbolicAtom:
+    el = Element(symbol=label, atomic_number=26.0, core=18.0, valence=8.0,
+                 f_core=0, num_quant_s=4, num_quant_p=4, num_quant_d=3)
+    pot = Potential()
+    pot.ws_r = 2.66
+    # spd tight-binding band centers/widths (Ry), spin-split d band
+    pot.center_band[:, 0] = [-0.40, 0.34, -0.21]
+    pot.center_band[:, 1] = [-0.18, 0.40, -0.05]
+    pot.width_band[:, 0] = [0.40, 0.26, 0.12]
+    pot.width_band[:, 1] = [0.40, 0.27, 0.14]
+    pot.pl[:, 0] = [4.67, 4.41, 3.87]
+    pot.pl[:, 1] = [4.67, 4.43, 3.68]
+    pot.ql[0, :, 0] = [0.33, 0.37, 4.37]
+    pot.ql[0, :, 1] = [0.36, 0.44, 2.13]
+    pot.ql[2, :, 0] = [0.007, 0.005, 0.045]
+    pot.ql[2, :, 1] = [0.006, 0.007, 0.012]
+    pot.xi_p[:] = 0.012
+    pot.xi_d[:] = 0.004
+    return SymbolicAtom(element=el, potential=pot, label=label)
+
+
+def synthetic_bcc_config(rc: float = 50.0, ndim: int = 10000,
+                         lld: int = 16, nsp: int = 1,
+                         channels_ldos: int = 2500) -> JobConfig:
+    lat = LatticeCfg(rc=rc, ndim=ndim, alat=2.8612, wav=1.4088,
+                     crystal_sym="bcc", ntype=1, r2=9.0)
+    lat.ct = np.zeros(50)
+    lat.ct[0] = 3.0
+    return JobConfig(
+        calculation=CalculationCfg(pre_processing="bravais"),
+        control=ControlCfg(calctype="B", nsp=nsp, lld=lld,
+                           recur="lanczos" if nsp == 1 else "block"),
+        lattice=lat,
+        atoms=AtomsCfg(database="", labels=["X"]),
+        scf=SelfCfg(nstep=1),
+        energy=EnergyCfg(channels_ldos=channels_ldos, energy_min=-1.0,
+                         energy_max=0.5, fermi=-0.07),
+        mix=MixCfg(beta=0.3, mixtype="linear"),
+        hamiltonian=HamiltonianCfg(),
+        namelists=Namelists(),
+    )
+
+
+def build_synthetic_bcc(rc: float = 50.0, ndim: int = 10000, lld: int = 16,
+                        nsp: int = 1):
+    """Geometry + Hamiltonian for the synthetic bcc system.
+
+    Returns a ready :class:`~rslmtoasa_tpu.models.bulk.BulkSystem` with the
+    Hamiltonian built.
+    """
+    from .bulk import BulkSystem
+
+    cfg = synthetic_bcc_config(rc=rc, ndim=ndim, lld=lld, nsp=nsp)
+    sys_ = BulkSystem.__new__(BulkSystem)
+    sys_.cfg = cfg
+    sys_.workdir = "."
+    sys_.atoms = [synthetic_bcc_atom()]
+    sys_.sbars = None
+    sys_.sbarvecs = None
+    sys_.ham = None
+
+    from ..geometry import bravais_cluster, neighbor_map, primitive_cell, sbar_for_cluster
+    from ..physics.energy_mesh import EnergyMesh
+
+    cell = primitive_cell("bcc")
+    cl = bravais_cluster(cell, alat=cfg.lattice.alat, rc=rc, ndim=ndim,
+                         wav=cfg.lattice.wav)
+    neighbor_map(cl, ct1=3.0)
+    sys_.cluster = cl
+    sys_.sbars, sys_.sbarvecs = sbar_for_cluster(cl.cr_ang, cl.iu, cl.wav, 9.0)
+    sys_.emesh = EnergyMesh.build(cfg.energy)
+    sys_.build_hamiltonian()
+    return sys_

@@ -78,11 +78,15 @@ class SelfConsistency:
         cfg = self.cfg
         sys = self.sys
         nstep = cfg.scf.nstep if nstep is None else nstep
+        recur = cfg.control.recur
         for it in range(1, nstep + 1):
             g_logger.info(f"SCF iteration {it}/{nstep}")
             with g_timer.section("recursion-phase"):
                 sys.build_hamiltonian()
-                a, b2 = sys.run_lanczos()
+                if recur == "block":
+                    a_b, b2_b = sys.run_block()
+                else:
+                    a, b2 = sys.run_lanczos()
             self.mix.save_to("old", sys.atoms, self.iz_rec)
             for ia, isp in enumerate(self.iz_rec):
                 self.mix.mag_old[ia] = sys.atoms[isp].potential.mom
@@ -91,15 +95,31 @@ class SelfConsistency:
             with g_timer.section("dos-phase"):
                 emesh = EnergyMesh.build(cfg.energy, fermi=self.fermi)
                 sys.emesh = emesh
-                tdens = sys.ldos(a, b2)
-                g0 = self.g0_from_ldos(tdens)
+                if recur == "block":
+                    from ..ops.block_lanczos import zsqr
+                    from ..physics.greens import bgreen, get_terminf
+
+                    b_b = zsqr(b2_b)
+                    a_inf, b_inf = get_terminf(a_b, b_b)
+                    g0 = np.stack([
+                        bgreen(a_b[:, n], b_b[:, n], a_inf[n], b_inf[n],
+                               emesh.ene, sym_term=cfg.control.sym_term)
+                        for n in range(a_b.shape[1])
+                    ])
+                else:
+                    tdens = sys.ldos(a, b2)
+                    g0 = self.g0_from_ldos(tdens)
                 bands = Bands(emesh, sys.atoms, self.iz_rec, self.qqv,
                               nsp=cfg.control.nsp)
+                # totaldos.out is written with the pre-search Fermi level
+                # (reference calculate_fermi :279-289 writes before the
+                # bisection)
+                fermi_for_output = emesh.fermi
                 bands.calculate_fermi(
                     g0, fix_fermi=emesh.fix_fermi,
                     calctype=cfg.control.calctype,
                 )
-                self._write_totaldos(bands, emesh)
+                self._write_totaldos(bands, emesh, fermi_for_output)
                 bands.calculate_magnetic_moments(g0)
                 for ia, isp in enumerate(self.iz_rec):
                     self.mix.mag_new[ia] = sys.atoms[isp].potential.mom
@@ -139,12 +159,16 @@ class SelfConsistency:
     def run_scf(self):
         """Per-atom atomic-sphere SCF + potential parameters + predls
         (``run_scf`` :861-912 and ``lmtst`` :1135-1186)."""
+        from .. import native
+
         cfg = self.cfg
         wsm = self.sys.cluster.wav * ANG2AU
+        use_native = native.available()
         for ia, isp in enumerate(self.iz_rec):
             at = self.sys.atoms[isp]
             pot = at.potential
-            res = atomsc(
+            solver = native.atomsc_native if use_native else atomsc
+            res = solver(
                 z=at.element.atomic_number,
                 lmax=pot.lmax,
                 a=0.02,
@@ -160,8 +184,9 @@ class SelfConsistency:
             pot.rhoeps = res.rhoeps
             pot.sumev = res.sumev
             pot.sumec = res.sumec
-            qsl = racsi(0.02, mesh_b(pot.ws_r, 0.02, res.nr), res.rofi,
-                        res.fun2, res.vzt)
+            racsi_fn = native.racsi_native if use_native else racsi
+            qsl = racsi_fn(0.02, mesh_b(pot.ws_r, 0.02, res.nr), res.rofi,
+                           res.fun2, res.vzt)
             pot.xi_p = np.array([qsl[0], qsl[3]])
             pot.xi_d = np.array([qsl[1], qsl[4]])
             pot.rac = np.array([qsl[2], qsl[5]])
@@ -170,8 +195,9 @@ class SelfConsistency:
                     getattr(pot, k)[:] = 0.0
             else:
                 pot.pnu = pot.pl.copy()
-                out = potpar(at.element.atomic_number, pot.lmax, 0.02,
-                             pot.ws_r, pot.pnu, res.v, res.rofi)
+                potpar_fn = native.potpar_native if use_native else potpar
+                out = potpar_fn(at.element.atomic_number, pot.lmax, 0.02,
+                                pot.ws_r, pot.pnu, res.v, res.rofi)
                 pot.enu = out["enu"]
                 pot.c = out["c"]
                 pot.srdel = out["srdel"]
@@ -181,11 +207,12 @@ class SelfConsistency:
             at.potential.predls(wsm)
 
     # ------------------------------------------------------------------
-    def _write_totaldos(self, bands: Bands, emesh: EnergyMesh):
+    def _write_totaldos(self, bands: Bands, emesh: EnergyMesh,
+                        fermi: float):
         path = os.path.join(self.workdir, "totaldos.out")
         with open(path, "w") as fh:
             for i in range(emesh.npts):
-                fh.write(f"{emesh.ene[i] - emesh.fermi:16.5f}"
+                fh.write(f"{emesh.ene[i] - fermi:16.5f}"
                          f"{bands.dtot[i]:16.5f}\n")
 
     # ------------------------------------------------------------------

@@ -1,0 +1,137 @@
+"""Multi-chip distribution of the recursion workload.
+
+The reference's only distribution axis is atoms/chains (MPI block partition,
+``source/mpi.f90:32-58``) with allreduce-sum collectives.  The TPU-native
+equivalents implemented here:
+
+* **chain sharding** — the batch of independent recursion chains
+  (atoms x orbitals x start vectors) is sharded across the mesh; every
+  device holds the full cluster Hamiltonian (exactly the reference's
+  replicated-Hamiltonian + atom-partition model).  DOS/moment reductions
+  become ``psum`` over the chain axis.
+* **row sharding** — for clusters exceeding per-chip HBM, the block-ELL
+  rows are sharded over a second mesh axis; each SpMV all-gathers the
+  wavefront vector (the cluster is low-diameter, so halo = everything;
+  a ``ppermute`` halo pipeline is the planned refinement).
+
+Both are expressed with ``jax.sharding`` + ``shard_map`` so XLA inserts the
+collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "chains") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_chains(mesh: Mesh, psi0: jnp.ndarray) -> jnp.ndarray:
+    """Place the chain batch axis (last) of psi0 on the mesh."""
+    sharding = NamedSharding(mesh, P(None, None, "chains"))
+    return jax.device_put(psi0, sharding)
+
+
+def lanczos_sharded(
+    mesh: Mesh,
+    hs: jnp.ndarray,
+    iz: jnp.ndarray,
+    cols: jnp.ndarray,
+    psi0: jnp.ndarray,
+    lld: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chain-sharded Haydock recursion.
+
+    Chains are embarrassingly parallel: with psi0's chain axis sharded,
+    the per-chain reductions (a_ll, b2_ll) stay local to each shard and
+    XLA keeps everything communication-free; outputs come back sharded
+    over chains.  This is the pjit formulation — no shard_map needed.
+    """
+    from ..ops.lanczos import lanczos_coefficients
+
+    hs_s = jax.device_put(hs, NamedSharding(mesh, P()))
+    iz_s = jax.device_put(iz, NamedSharding(mesh, P()))
+    cols_s = jax.device_put(cols, NamedSharding(mesh, P()))
+    psi0_s = shard_chains(mesh, psi0)
+    fn = jax.jit(
+        partial(lanczos_coefficients, lld=lld),
+        in_shardings=(
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P(None, None, "chains")),
+        ),
+        out_shardings=NamedSharding(mesh, P(None, "chains")),
+    )
+    return fn(hs_s, iz_s, cols_s, psi0_s)
+
+
+def total_dos_psum(mesh: Mesh, dens_chains: jnp.ndarray) -> jnp.ndarray:
+    """Reference-ALLREDUCE analogue: sum per-chain DOS over the sharded
+    chain axis with a psum (``bands.f90:271-274``).
+
+    dens_chains: (NE, C) with C sharded -> (NE,) replicated total.
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(None, "chains"),
+        out_specs=P(),
+    )
+    def _reduce(local):
+        return jax.lax.psum(jnp.sum(local, axis=1), axis_name="chains")
+
+    return _reduce(dens_chains)
+
+
+def rowsharded_spmv_step(
+    mesh: Mesh,
+    hs: jnp.ndarray,
+    iz: jnp.ndarray,
+    cols: jnp.ndarray,
+    psi: jnp.ndarray,
+    rows_axis: str = "chains",
+) -> jnp.ndarray:
+    """One block-SpMV with the cluster rows sharded across the mesh.
+
+    Each shard owns a contiguous block of atom rows (iz/cols sharded on
+    axis 0) and all-gathers the wavefront vector for the column gathers —
+    the large-cluster layout where the Hamiltonian no longer fits one chip.
+    psi is (kk+1, B, C); rows of the output stay sharded.
+    """
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(rows_axis), P(rows_axis), P(rows_axis)),
+        out_specs=P(rows_axis),
+    )
+    def _step_repl_h(hs_all, iz_loc, cols_loc, psi_loc):
+        psi_full = jax.lax.all_gather(
+            psi_loc, axis_name=rows_axis, axis=0, tiled=True
+        )
+        pad = jnp.zeros((1,) + psi_full.shape[1:], psi_full.dtype)
+        psi_pad = jnp.concatenate([psi_full, pad], axis=0)
+        hi = hs_all[iz_loc]
+
+        def body(m, acc):
+            pg = psi_pad[cols_loc[:, m]]
+            return acc + jnp.einsum("iab,ibc->iac", hi[:, m], pg)
+
+        acc0 = jnp.zeros((cols_loc.shape[0],) + psi_loc.shape[1:],
+                         dtype=psi_loc.dtype)
+        acc0 = jax.lax.pvary(acc0, (rows_axis,))
+        return jax.lax.fori_loop(0, cols_loc.shape[1], body, acc0)
+
+    return _step_repl_h(hs, iz, cols, psi)
