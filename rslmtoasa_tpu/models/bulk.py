@@ -27,6 +27,7 @@ from ..ops.lanczos import (
     lanczos_coefficients_split,
     scalar_start_vectors,
     split_complex,
+    split_vector,
 )
 from ..ops.ldos import orbital_density
 from ..physics.energy_mesh import EnergyMesh
@@ -50,6 +51,13 @@ class BulkSystem:
     def build(cls, cfg: JobConfig, workdir: str = ".") -> "BulkSystem":
         sys = cls(cfg=cfg, workdir=workdir)
         lat = cfg.lattice
+        # historical defaults when &lattice omits ct / r2 (the reference's
+        # commented-out build_data fallback ct = alat + 0.1, r2 = ct^2 —
+        # inputs like example/exchange/bccFe rely on them)
+        if lat.ct[0] == 0.0:
+            lat.ct[:] = lat.alat + 0.1
+        if lat.r2 == 0.0:
+            lat.r2 = float(lat.ct[0]) ** 2
         with g_timer.section("geometry"):
             cell = primitive_cell(lat.crystal_sym, lat.celldm)
             cl = bravais_cluster(
@@ -121,7 +129,7 @@ class BulkSystem:
                         split_complex(blk),
                         jnp.asarray(hb.iz),
                         jnp.asarray(hb.cols),
-                        split_complex(psi0),
+                        split_vector(psi0),
                         lld,
                     )
                 else:
@@ -176,6 +184,43 @@ class BulkSystem:
                 enim=jnp.asarray(hb.enim) if hoh else None,
             )
         return np.asarray(a_b), np.asarray(b2_b)
+
+    # ------------------------------------------------------------------
+    def run_chebyshev(self, emesh):
+        """Block Chebyshev/KPM moments (``chebyshev_recur``).
+
+        Returns mu of shape (2*lld+2, nrec, 18, 18).
+        """
+        from ..ops.block_lanczos import block_start_vectors
+        from ..ops.chebyshev import chebyshev_moments
+
+        cl = self.cluster
+        hb = self.ham
+        lld = self.cfg.control.lld
+        hoh = self.cfg.hamiltonian.hoh
+        rec_atoms = [int(j) - 1 for j in cl.irec]
+        ntype = hb.ee.shape[0]
+        lsham = hb.lsham if hb.lsham is not None else np.zeros(
+            (ntype, 18, 18), dtype=np.complex128
+        )
+        a = (emesh.energy_max - emesh.energy_min) / (2.0 - 0.3)
+        b = (emesh.energy_max + emesh.energy_min) / 2.0
+        psi0 = block_start_vectors(cl.kk, rec_atoms)
+        with g_timer.section("chebyshev-recursion"):
+            mu = chebyshev_moments(
+                jnp.asarray(hb.ee),
+                jnp.asarray(lsham),
+                jnp.asarray(hb.iz),
+                jnp.asarray(hb.cols),
+                jnp.asarray(psi0),
+                lld,
+                a,
+                b,
+                hoh=hoh,
+                hso=jnp.asarray(hb.eeo) if hoh else None,
+                enim=jnp.asarray(hb.enim) if hoh else None,
+            )
+        return np.asarray(mu)
 
     # ------------------------------------------------------------------
     def ldos(self, a: np.ndarray, b2: np.ndarray):

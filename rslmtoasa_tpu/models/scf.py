@@ -85,6 +85,10 @@ class SelfConsistency:
                 sys.build_hamiltonian()
                 if recur == "block":
                     a_b, b2_b = sys.run_block()
+                elif recur == "chebyshev":
+                    # the moments depend on the energy window scaling only
+                    emesh_ch = EnergyMesh.build(cfg.energy, fermi=self.fermi)
+                    mu = sys.run_chebyshev(emesh_ch)
                 else:
                     a, b2 = sys.run_lanczos()
             self.mix.save_to("old", sys.atoms, self.iz_rec)
@@ -105,6 +109,14 @@ class SelfConsistency:
                         bgreen(a_b[:, n], b_b[:, n], a_inf[n], b_inf[n],
                                emesh.ene, sym_term=cfg.control.sym_term)
                         for n in range(a_b.shape[1])
+                    ])
+                elif recur == "chebyshev":
+                    from ..ops.chebyshev import chebyshev_green
+
+                    g0 = np.stack([
+                        chebyshev_green(mu[:, n], emesh.ene,
+                                        emesh.energy_min, emesh.energy_max)
+                        for n in range(mu.shape[1])
                     ])
                 else:
                     tdens = sys.ldos(a, b2)

@@ -38,10 +38,23 @@ def block_spmv(hs: jnp.ndarray, iz: jnp.ndarray, cols: jnp.ndarray,
     Returns (kk, B, C).
 
     One-shot gather + einsum over all slots (a slot-loop compiles far
-    worse on TPU backends and fuses less).
+    worse on TPU backends and fuses less).  For small type counts the
+    per-type formulation turns the whole SpMV into one large
+    (B x nslots*B) @ (nslots*B x kk*C) matmul per type — the batched
+    per-atom (B x B) form runs tiny matmuls that waste the MXU.
     """
-    hi = hs[iz]  # (kk, nslots, B, B)
+    ntype = hs.shape[0]
     pg = psi[cols]  # (kk, nslots, B, C)
+    if ntype == 1:
+        return jnp.einsum("mab,imbc->iac", hs[0], pg)
+    if ntype <= 4:
+        out = None
+        for t in range(ntype):
+            yt = jnp.einsum("mab,imbc->iac", hs[t], pg)
+            yt = jnp.where((iz == t)[:, None, None], yt, 0.0)
+            out = yt if out is None else out + yt
+        return out
+    hi = hs[iz]  # (kk, nslots, B, B)
     return jnp.einsum("imab,imbc->iac", hi, pg)
 
 
@@ -89,39 +102,43 @@ def lanczos_coefficients(
 
 
 def split_complex(x) -> jnp.ndarray:
-    """complex(..., ) -> real(2, ...) with [0]=re, [1]=im.
+    """Realify complex Hamiltonian blocks: (..., B, B) complex ->
+    (..., 2B, 2B) real via M -> [[Re, -Im], [Im, Re]].
 
-    TPU backends (v5e) have no native C128; all device math runs on the
-    split representation with f64 real arithmetic — bit-compatible with
-    the complex128 path (a complex MAC is exactly 4 real MACs).  The split
-    happens host-side (NumPy) so no complex array ever reaches the device.
+    TPU backends (v5e) have no native C128; all device math runs on this
+    embedding with f64 real arithmetic (a complex MAC is exactly 4 real
+    MACs, so results are bit-compatible with complex128 up to summation
+    grouping).  One real einsum replaces four — each distinct einsum costs
+    ~1 min of TPU (Mosaic) compile time, so fusing matters.  The embedding
+    is built host-side; no complex array ever reaches the device.
     """
     import numpy as np
 
     x = np.asarray(x)
-    return jnp.asarray(np.stack([x.real, x.imag], axis=0))
+    b = x.shape[-1]
+    out = np.zeros(x.shape[:-2] + (2 * b, 2 * b))
+    out[..., :b, :b] = x.real
+    out[..., :b, b:] = -x.imag
+    out[..., b:, :b] = x.imag
+    out[..., b:, b:] = x.real
+    return jnp.asarray(out)
 
 
-def merge_complex(x: jnp.ndarray) -> jnp.ndarray:
-    return x[0] + 1j * x[1]
+def split_vector(x) -> jnp.ndarray:
+    """Realify block vectors: (..., B, C) complex -> (..., 2B, C) real
+    ([Re; Im] stacking, compatible with :func:`split_complex`)."""
+    import numpy as np
+
+    x = np.asarray(x)
+    return jnp.asarray(np.concatenate([x.real, x.imag], axis=-2))
 
 
-def block_spmv_split(hs: jnp.ndarray, iz: jnp.ndarray, cols: jnp.ndarray,
-                     psi: jnp.ndarray) -> jnp.ndarray:
-    """Split-complex block SpMV.
+def merge_vector(x) -> "np.ndarray":
+    import numpy as np
 
-    hs: (2, ntype, nslots, B, B) real; psi: (2, kk+1, B, C) real with zero
-    pad row.  Returns (2, kk, B, C).
-    """
-    hr = hs[0][iz]  # (kk, nslots, B, B)
-    hi_ = hs[1][iz]
-    pr = psi[0][cols]  # (kk, nslots, B, C)
-    pi = psi[1][cols]
-    yr = jnp.einsum("imab,imbc->iac", hr, pr) \
-        - jnp.einsum("imab,imbc->iac", hi_, pi)
-    yi = jnp.einsum("imab,imbc->iac", hr, pi) \
-        + jnp.einsum("imab,imbc->iac", hi_, pr)
-    return jnp.stack([yr, yi], axis=0)
+    x = np.asarray(x)
+    b = x.shape[-2] // 2
+    return x[..., :b, :] + 1j * x[..., b:, :]
 
 
 @partial(jax.jit, static_argnames=("lld",))
@@ -132,30 +149,84 @@ def lanczos_coefficients_split(
     psi0: jnp.ndarray,
     lld: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Haydock recursion in the split-complex representation.
+    """Haydock recursion in the realified representation.
 
-    hs: (2, ntype, nslots, B, B); psi0: (2, kk+1, B, C) with zero pad row.
-    Returns (a, b2) of shape (lld, C) — identical to
-    :func:`lanczos_coefficients` up to f64 rounding.
+    hs: (ntype, nslots, 2B, 2B) real (from :func:`split_complex`);
+    psi0: (kk+1, 2B, C) real (from :func:`split_vector`) with zero pad
+    row.  Returns (a, b2) of shape (lld, C) — identical to
+    :func:`lanczos_coefficients` up to f64 rounding.  The real inner
+    products over the stacked [Re; Im] axis equal the real parts of the
+    complex inner products, which is exactly what the recursion needs
+    (``crecal`` accumulates Re<.|.> only).
     """
-    _, kk1, b, c = psi0.shape
+    kk1, b2dim, c = psi0.shape
 
     def step(carry, _):
         psi, pmn, summ_prev = carry
-        v = block_spmv_split(hs, iz, cols, psi)
-        a_ll = jnp.sum(v[0] * psi[0, :-1] + v[1] * psi[1, :-1], axis=(0, 1))
+        v = block_spmv(hs, iz, cols, psi)
+        a_ll = jnp.sum(v * psi[:-1], axis=(0, 1))
         b2_ll = summ_prev
-        pmn = pmn + v - a_ll[None, None, None, :] * psi[:, :-1]
-        summ = jnp.sum(pmn * pmn, axis=(0, 1, 2))
+        pmn = pmn + v - a_ll[None, None, :] * psi[:-1]
+        summ = jnp.sum(pmn * pmn, axis=(0, 1))
         s = jnp.sqrt(summ)
         psi_new = jnp.concatenate(
-            [pmn / s[None, None, None, :],
-             jnp.zeros((2, 1, b, c), pmn.dtype)], axis=1
+            [pmn / s[None, None, :], jnp.zeros((1, b2dim, c), pmn.dtype)],
+            axis=0,
         )
-        pmn_new = -psi[:, :-1] * s[None, None, None, :]
+        pmn_new = -psi[:-1] * s[None, None, :]
         return (psi_new, pmn_new, summ), (a_ll, b2_ll)
 
-    pmn0 = jnp.zeros((2, kk1 - 1, b, c), dtype=psi0.dtype)
+    pmn0 = jnp.zeros((kk1 - 1, b2dim, c), dtype=psi0.dtype)
+    summ0 = jnp.ones((c,), dtype=psi0.dtype)
+    (psi, pmn, summ), (a, b2) = jax.lax.scan(
+        step, (psi0, pmn0, summ0), None, length=lld - 1
+    )
+    a = jnp.concatenate([a, jnp.zeros((1, c), a.dtype)], axis=0)
+    b2 = jnp.concatenate([b2, summ[None, :]], axis=0)
+    return a, b2
+
+
+def stencil_spmv(hs: jnp.ndarray, mask: jnp.ndarray, psi: jnp.ndarray,
+                 offsets) -> jnp.ndarray:
+    """Gather-free stencil block SpMV (single-type path).
+
+    hs: (nslots, B, B) slot blocks; mask: (nbox, nslots); psi: (nbox, B, C);
+    offsets: static tuple of per-slot linear offsets.  Every slot is a
+    dense roll + mask; the contraction collapses to ONE (B x nslots*B) @
+    (nslots*B x nbox*C) matmul — MXU-shaped, no gathers.
+    """
+    rolled = jnp.stack(
+        [jnp.roll(psi, -int(offsets[m]), axis=0) * mask[:, m, None, None]
+         for m in range(len(offsets))],
+        axis=0,
+    )  # (nslots, nbox, B, C)
+    return jnp.einsum("mab,mibc->iac", hs, rolled)
+
+
+@partial(jax.jit, static_argnames=("lld", "offsets"))
+def lanczos_coefficients_stencil(
+    hs: jnp.ndarray,  # (nslots, 2B, 2B) realified slot blocks
+    mask: jnp.ndarray,  # (nbox, nslots)
+    psi0: jnp.ndarray,  # (nbox, 2B, C) realified start vectors
+    lld: int,
+    offsets: tuple,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Haydock recursion on the stencil layout (TPU production path)."""
+    nbox, b2dim, c = psi0.shape
+
+    def step(carry, _):
+        psi, pmn, summ_prev = carry
+        v = stencil_spmv(hs, mask, psi, offsets)
+        a_ll = jnp.sum(v * psi, axis=(0, 1))
+        b2_ll = summ_prev
+        pmn = pmn + v - a_ll[None, None, :] * psi
+        summ = jnp.sum(pmn * pmn, axis=(0, 1))
+        s = jnp.sqrt(summ)
+        psi_new = pmn / s[None, None, :]
+        pmn_new = -psi * s[None, None, :]
+        return (psi_new, pmn_new, summ), (a_ll, b2_ll)
+
+    pmn0 = jnp.zeros((nbox, b2dim, c), dtype=psi0.dtype)
     summ0 = jnp.ones((c,), dtype=psi0.dtype)
     (psi, pmn, summ), (a, b2) = jax.lax.scan(
         step, (psi0, pmn0, summ0), None, length=lld - 1

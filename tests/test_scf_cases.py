@@ -31,6 +31,8 @@ CASES = [
     ("Example_bulk_bccFe_nsp2_block_hoh", 2, "block", 20, True),
     ("Example_bulk_bccFe_nsp3_block", 3, "block", 20, False),
     ("Example_bulk_bccFe_nsp4_block", 4, "block", 20, False),
+    ("Example_bulk_bccFe_nsp2_chebyshev", 2, "chebyshev", 100, False),
+    ("Example_bulk_bccFe_nsp2_chebyshev_hoh", 2, "chebyshev", 100, True),
 ]
 
 
@@ -45,10 +47,15 @@ def _run_case(reference_dir, nsp, recur, lld, hoh):
     cfg.control.nmdir = 1 if nsp <= 2 else 3
     cfg.scf.nstep = 1
     cfg.hamiltonian.hoh = hoh
-    # generation-time energy window (see module docstring)
+    # generation-time energy window (see module docstring); the
+    # chebyshev_hoh case patches a wider window (cases.json)
     cfg.energy.fermi = -0.042267
-    cfg.energy.energy_min = -2.0
-    cfg.energy.energy_max = 0.8
+    if recur == "chebyshev" and hoh:
+        cfg.energy.energy_min = -3.0
+        cfg.energy.energy_max = 1.8
+    else:
+        cfg.energy.energy_min = -2.0
+        cfg.energy.energy_max = 0.8
     wd = tempfile.mkdtemp(prefix="rslmto_case_")
     sys_ = BulkSystem.build(cfg, wd)
     scf = SelfConsistency(sys_, wd)
