@@ -51,21 +51,26 @@ def main():
     psi0 = split_vector(scalar_start_vectors(kk, [0]))
     c = psi0.shape[2]
 
+    # scale factor input keeps every repetition a distinct execution
     fn = jax.jit(
-        lambda h, i, co, p: lanczos_coefficients_split(h, i, co, p, lld)
+        lambda h, i, co, p, s: lanczos_coefficients_split(h, i, co, p * s,
+                                                          lld)
     )
-    # warmup/compile
+    # warmup/compile.  NOTE: on the axon backend block_until_ready does not
+    # actually synchronise; a host readback of the result is the only
+    # reliable barrier, so timings below always pull `a` back.
     t0 = time.perf_counter()
-    a, b2 = fn(hs, iz, cols, psi0)
-    a.block_until_ready()
+    a, b2 = fn(hs, iz, cols, psi0, 1.0)
+    a_np = np.asarray(a)
     print(f"# compile+first run: {time.perf_counter()-t0:.1f} s",
           file=sys.stderr)
     reps = 5
     t0 = time.perf_counter()
-    for _ in range(reps):
-        a, b2 = fn(hs, iz, cols, psi0)
-    a.block_until_ready()
+    for r in range(reps):
+        a, b2 = fn(hs, iz, cols, psi0, 1.0 + 1e-12 * r)
+        a_np = np.asarray(a)
     dt = (time.perf_counter() - t0) / reps
+    a = jnp.asarray(a_np)
 
     # nnz = Hamiltonian block entries touched per SpMV (9x9 per slot),
     # processed once per chain per recursion step

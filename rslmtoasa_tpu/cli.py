@@ -1,0 +1,103 @@
+"""Command-line driver (the reference binary ``rslmto.x`` equivalent).
+
+Usage (reference ``source/os.f90 argument_parser`` :34-158 and
+``calculation.f90 process`` :175-211)::
+
+    python -m rslmtoasa_tpu [input.nml] [nml=extra.nml ...] [output=dir]
+
+Reads the namelist input, dispatches on the &calculation pipeline strings
+(``bravais``/``newclubulk`` pre-processing, ``sd`` processing, ``exchange``/
+``conductivity`` post-processing), runs the SCF / post-processing, writes
+the reference's output files (totaldos.out, <El>_out.nml, jij.out, ...),
+and prints the hierarchical timing report.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from .config import JobConfig
+from .utils.logger import g_logger
+from .utils.namelist import read_namelists
+from .utils.timer import g_timer
+
+VALID_PRE = {"none", "bravais", "buildsurf", "newclubulk", "newclusurf"}
+VALID_PROC = {"none", "sd"}
+VALID_POST = {"none", "exchange", "exchange_p2rs", "conductivity",
+              "conductivity_p2rs", "paoflow2rs", "orbital_modern"}
+
+
+def parse_args(argv):
+    input_file = "input.nml"
+    extra = []
+    outdir = "."
+    for arg in argv:
+        if arg.startswith("nml="):
+            extra.append(arg[4:])
+        elif arg.startswith("output="):
+            outdir = arg[7:]
+        else:
+            input_file = arg
+    return input_file, extra, outdir
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    input_file, extra, outdir = parse_args(argv)
+    if not os.path.exists(input_file):
+        g_logger.error(f"input file {input_file} not found")
+        return 1
+    nml = read_namelists(input_file)
+    for path in extra:
+        nml.merge(read_namelists(path))
+    cfg = JobConfig.from_namelists(nml, fname=input_file)
+    os.makedirs(outdir, exist_ok=True)
+    workdir = outdir
+
+    pre = (cfg.calculation.pre_processing or "none").strip()
+    proc = (cfg.calculation.processing or "none").strip()
+    post = (cfg.calculation.post_processing or "none").strip()
+    for val, ok in ((pre, VALID_PRE), (proc, VALID_PROC), (post, VALID_POST)):
+        if val not in ok:
+            g_logger.error(f"invalid calculation stage {val!r}")
+            return 1
+
+    from .models.bulk import BulkSystem
+
+    if cfg.atoms.database in ("", "./", "."):
+        cfg.atoms.database = os.path.dirname(os.path.abspath(input_file))
+
+    sys_ = BulkSystem.build(cfg, workdir)
+
+    if post == "exchange":
+        from .models.exchange import ExchangeCalculation
+
+        xc = ExchangeCalculation(sys_, cfg.lattice.ijpair, workdir)
+        xc.run()
+    elif post == "conductivity":
+        from .models.conductivity import ConductivityCalculation
+
+        cc = ConductivityCalculation(sys_, workdir)
+        cc.run()
+    elif proc == "sd":
+        from .models.spin_dynamics import SpinDynamics
+
+        sd = SpinDynamics(sys_, workdir)
+        sd.run()
+    else:
+        from .models.scf import SelfConsistency
+
+        scf = SelfConsistency(sys_, workdir)
+        state = scf.run()
+        g_logger.info(
+            f"SCF finished: converged={state.converged} "
+            f"delta={state.delta:.3e}"
+        )
+
+    print(g_timer.report())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -152,6 +152,10 @@ class LatticeCfg:
             ij = np.zeros((c.njij, 2), dtype=np.int64)
             g.fill_array("ijpair", ij)
             c.ijpair = ij
+        if g.has("nclu") and c.nclu > 0:
+            inc = np.zeros((c.nclu, 3))
+            g.fill_array("inclu", inc)
+            c.inclu = inc
         if g.has("a"):
             a = np.zeros((3, 3))
             g.fill_array("a", a)

@@ -19,7 +19,7 @@ Re-implements (vectorised, NumPy) the reference cluster pipeline:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from scipy.spatial import cKDTree
@@ -49,6 +49,12 @@ class Cluster:
     irec: Optional[np.ndarray] = None
     atlist: Optional[np.ndarray] = None  # per-type representative atom, 1-based
     nmax: int = 0  # number of impurity-local atoms (0 for bulk/surface)
+    pbc: bool = False
+    pbc_dims: Optional[np.ndarray] = None  # (n1, n2, n3) when periodic
+    pbc_wrap: Tuple[bool, bool, bool] = (False, False, False)  # b1, b2, b3
+    nbas: int = 0  # impurity: perturbed-region size (newclu ncnt)
+    chargetrf_type: Optional[np.ndarray] = None  # original species per local atom
+    _ct1: float = 0.0  # neighbor cut (Angstrom), kept for newclu
 
     # filled by neighbor_map
     nn_count: Optional[np.ndarray] = None  # (nsites,) canonical neighbor count per site
@@ -59,6 +65,31 @@ class Cluster:
     def cr_ang(self) -> np.ndarray:
         return self.cr * self.alat
 
+    def wrap_diff(self, vij: np.ndarray) -> np.ndarray:
+        """Minimum-image wrap of displacement(s) (Angstrom) over the
+        periodic supercell (``f_wrap_coord_diff`` :2975-3018).  vij may be
+        (..., 3)."""
+        if not self.pbc:
+            return vij
+        n = self.pbc_dims
+        a = self.cell.a * self.alat
+        rx = (-1, 0, 1) if self.pbc_wrap[0] else (0,)
+        ry = (-1, 0, 1) if self.pbc_wrap[1] else (0,)
+        rz = (-1, 0, 1) if self.pbc_wrap[2] else (0,)
+        best = np.array(vij, copy=True, dtype=np.float64)
+        bn = (best**2).sum(axis=-1)
+        for x in rx:
+            for y in ry:
+                for z in rz:
+                    shift = (x * n[0] * a[:, 0] + y * n[1] * a[:, 1]
+                             + z * n[2] * a[:, 2])
+                    cand = vij + shift
+                    cn = (cand**2).sum(axis=-1)
+                    better = cn < bn
+                    best = np.where(better[..., None], cand, best)
+                    bn = np.where(better, cn, bn)
+        return best
+
 
 def bravais_cluster(
     cell: PrimitiveCell,
@@ -68,15 +99,62 @@ def bravais_cluster(
     npe: int = 49,
     wav: float = 0.0,
     calctype: str = "B",
+    pbc: bool = False,
+    pbc_dims=None,
+    pbc_wrap=(False, False, False),
 ) -> Cluster:
     """Build the bulk cluster exactly like ``lattice%bravais``.
 
     ``rc`` is the *squared* cut radius in lattice units (the reference's
-    ``rc`` namelist value), applied around every basis atom.
+    ``rc`` namelist value), applied around every basis atom.  With
+    ``pbc=True`` the cluster is the full n1 x n2 x n3 supercell box (no
+    spherical cut; reference :1082-1089) and neighbor searches optionally
+    wrap along the axes flagged in ``pbc_wrap`` (b1/b2/b3).
     """
     ntot = cell.ntot
     crd = cell.crd  # (3, ntot)
     a = cell.a
+
+    if pbc:
+        n1, n2, n3 = (int(x) for x in pbc_dims)
+        lcx, lcy, lcz = (n1 + 1) // 2, (n2 + 1) // 2, (n3 + 1) // 2
+        rng1 = np.arange(1, n1 + 1)
+        rng2 = np.arange(1, n2 + 1)
+        rng3 = np.arange(1, n3 + 1)
+        nx, ny, nz = np.meshgrid(rng1, rng2, rng3, indexing="ij")
+        nx, ny, nz = nx.ravel(), ny.ravel(), nz.ravel()
+        keep_cell = ~((nx == lcx) & (ny == lcy) & (nz == lcz))
+        m = np.stack([nx - lcx, ny - lcy, nz - lcz], axis=1).astype(np.float64)
+        shift = m[keep_cell] @ a.T
+        pos_list = [crd.T]
+        iz_list = [cell.izp]
+        no_list = [cell.no]
+        for i in range(ntot):
+            pos_list.append(crd[:, i][None, :] + shift)
+            iz_list.append(np.full(shift.shape[0], cell.izp[i]))
+            no_list.append(np.full(shift.shape[0], cell.no[i]))
+        cr = np.concatenate(pos_list, axis=0)
+        iz = np.concatenate(iz_list)
+        no = np.concatenate(no_list)
+        kk = cr.shape[0]
+        if kk % 2 != 0:
+            kk -= 1
+            cr, iz, no = cr[:kk], iz[:kk], no[:kk]
+        if wav == 0.0:
+            wav = default_wav(a, alat, ntot)
+        cl = Cluster(cr=cr, iz=iz.astype(np.int64), num=no.astype(np.int64),
+                     kk=kk, alat=alat, cell=cell, wav=wav, pbc=True,
+                     pbc_dims=np.array([n1, n2, n3]),
+                     pbc_wrap=tuple(bool(b) for b in pbc_wrap))
+        if calctype == "B":
+            cl.ntype = ntot
+            cl.nbulk = 0
+            cl.nrec = ntot
+            cl.iu = np.arange(1, ntot + 1)
+            cl.ib = np.arange(1, ntot + 1)
+            cl.irec = np.arange(1, ntot + 1)
+            cl.atlist = np.arange(1, ntot + 1)
+        return cl
 
     npr = int((ndim / (ntot * 1.0)) ** (1.0 / 3.0))
     lc = (npr + 1) // 2
@@ -168,6 +246,7 @@ def neighbor_map(cl: Cluster, ct1: float) -> Cluster:
     (cluster boundary) are -1.
     """
     pos = cl.cr_ang  # (kk,3)
+    cl._ct1 = float(ct1)
     tree = cKDTree(pos)
     rcut2 = ct1 * ct1
     # neighbor lists in ascending index order (matches nncal discovery order)
@@ -213,6 +292,146 @@ def neighbor_map(cl: Cluster, ct1: float) -> Cluster:
     cl.nn_count = nn_count
     cl.dirs = dirs
     return cl
+
+
+def newclu(cl: Cluster, inclu: np.ndarray, nbulk_bulk: int) -> Cluster:
+    """Impurity-cluster construction (``lattice%newclu`` :1573-1819).
+
+    ``inclu`` is (nclu, 3) impurity positions in lattice units.  Re-types
+    the atoms at those positions as impurity species, reorders the cluster
+    as [impurities, first shell, second shell, far bulk-by-distance],
+    and sets the impurity bookkeeping: ``nmax`` (local-Hamiltonian zone),
+    ``nbas`` (perturbed region for the Madelung solve), representatives
+    from the deepest bulk atoms, and ``chargetrf_type`` (original species
+    of each local atom, 1-based).
+    """
+    inclu = np.atleast_2d(np.asarray(inclu, dtype=np.float64))
+    nclu = inclu.shape[0]
+    kk = cl.kk
+    nbulk = nbulk_bulk
+    ntype = nbulk + nclu
+    izpo = cl.iz.copy()
+    iz = cl.iz.copy()
+
+    # retype impurity atoms
+    found = 0
+    ntypecount = nbulk
+    for jc in range(nclu):
+        hit = np.all(np.abs(cl.cr - inclu[jc][None, :]) < 1.0e-6, axis=1)
+        idx = np.nonzero(hit)[0]
+        found += len(idx)
+        ntypecount += 1
+        iz[idx] = ntypecount
+    if found != nclu:
+        raise RuntimeError("impurity positions not found in the cluster")
+
+    d2 = ((cl.cr - inclu[0][None, :]) ** 2).sum(axis=1)
+    order0 = np.arange(kk)
+    # reference: sort first nclu rows by iz, rest by distance (stable)
+    head = order0[:nclu][np.argsort(iz[:nclu].astype(np.float64),
+                                    kind="stable")]
+    tail = order0[nclu:][np.argsort(d2[nclu:], kind="stable")]
+    perm = np.concatenate([head, tail])
+    return _newclu_classify(cl, cl.cr[perm], iz[perm], cl.num[perm],
+                            izpo[perm], d2[perm], nbulk, ntype, nclu, inclu)
+
+
+def _newclu_classify(cl, cr, iz, num, izpo, d2, nbulk, ntype, nclu, inclu):
+    """Second half of newclu: shell classification and final ordering."""
+    kk = cl.kk
+    alat = cl.alat
+    pos = cr * alat
+    # ct from the original neighbor cut (stored on first neighbor_map call)
+    ct1 = cl._ct1
+    tree = cKDTree(pos)
+
+    def neigh(i, cut):
+        nb = np.array(sorted(tree.query_ball_point(pos[i], r=cut)),
+                      dtype=np.int64)
+        nb = nb[nb != i]
+        dd = ((pos[nb] - pos[i]) ** 2).sum(axis=1)
+        return nb[dd < cut * cut]
+
+    key = iz.astype(np.int64).copy()
+    imps = np.nonzero((key > nbulk) & (key <= ntype))[0]
+    # second shell (full ct), then first shell (0.95 ct) markers
+    for i in imps:
+        for j in neigh(i, ct1):
+            if key[j] <= nbulk:
+                key[j] = 2000 + izpo[j]
+    for i in imps:
+        for j in neigh(i, 0.95 * ct1):
+            if key[j] <= nbulk or key[j] > 2000:
+                key[j] = 1000 + izpo[j]
+    key[key == 1] = 4000 + izpo[key == 1]
+    sel = (key > 0) & (key <= nbulk)
+    key[sel] = 3000 + izpo[sel]
+
+    order = np.argsort(key, kind="stable")
+    cr = cr[order]
+    key = key[order]
+    num = num[order]
+    izpo = izpo[order]
+    d2 = d2[order]
+    ncnt = int(np.sum(key < 2000))
+    key[key > ntype] = izpo[key > ntype]
+    tail = np.arange(ncnt, kk)[np.argsort(d2[ncnt:], kind="stable")]
+    order2 = np.concatenate([np.arange(ncnt), tail])
+    cr = cr[order2]
+    key = key[order2]
+    num = num[order2]
+    izpo = izpo[order2]
+
+    # final neighbor map for zone sizing
+    pos = cr * alat
+    tree = cKDTree(pos)
+    nrec = nclu
+    nmax = 0
+    for i in range(nrec):
+        nb = np.array(sorted(tree.query_ball_point(pos[i], r=ct1)),
+                      dtype=np.int64)
+        nb = nb[nb != i]
+        dd = ((pos[nb] - pos[i]) ** 2).sum(axis=1)
+        nb = nb[dd < ct1 * ct1]
+        if nb.size:
+            nmax = max(nmax, int(nb.max()) + 1)  # 1-based count
+
+    # bulk representatives: per bulk species, the atom beyond nmax with the
+    # most neighbors (deep interior)
+    ibulk = np.zeros(nbulk, dtype=np.int64)
+    best = np.zeros(nbulk, dtype=np.int64)
+    for i in range(nmax, kk):
+        t = int(key[i])
+        if 1 <= t <= nbulk:
+            nb = np.array(tree.query_ball_point(pos[i], r=ct1))
+            nb = nb[nb != i]
+            dd = ((pos[nb] - pos[i]) ** 2).sum(axis=1)
+            cnt = int((dd < ct1 * ct1).sum())
+            if cnt > best[t - 1]:
+                best[t - 1] = cnt
+                ibulk[t - 1] = i + 1  # 1-based
+
+    out = Cluster(cr=cr, iz=key.astype(np.int64), num=num.astype(np.int64),
+                  kk=kk, alat=alat, cell=cl.cell, wav=cl.wav)
+    out.ntype = ntype
+    out.nbulk = nbulk
+    out.nrec = nclu
+    out.nmax = nmax
+    out.iu = ibulk[: cl.cell.ntot].copy()
+    out.ib = ibulk.copy()
+    # irec: impurity atoms by position
+    irec = []
+    for jc in range(nclu):
+        hit = np.all(np.abs(cr - np.atleast_2d(inclu)[jc][None, :]) < 1e-6,
+                     axis=1)
+        irec.extend((np.nonzero(hit)[0] + 1).tolist())
+    out.irec = np.array(irec, dtype=np.int64)
+    # atlist = [ib..., irec...] (atomlist :1893-1920)
+    out.atlist = np.concatenate([out.ib, out.irec])
+    out.nbas = ncnt
+    out.chargetrf_type = izpo[:ncnt].astype(np.int64)
+    out._ct1 = ct1
+    return out
 
 
 @dataclass

@@ -68,7 +68,24 @@ class BulkSystem:
                 npe=lat.npe,
                 wav=lat.wav,
                 calctype=cfg.control.calctype,
+                pbc=bool(lat.pbc),
+                pbc_dims=(lat.n1, lat.n2, lat.n3),
+                pbc_wrap=(bool(lat.b1), bool(lat.b2), bool(lat.b3)),
             )
+            if cl.pbc and any(cl.pbc_wrap):
+                raise NotImplementedError(
+                    "wrapped periodic boundaries (b1/b2/b3) not yet supported"
+                )
+            cl._ct1 = float(lat.ct[0])
+            if cfg.control.calctype == "I":
+                from ..geometry.cluster import newclu
+
+                cl = newclu(cl, lat.inclu, cell.ntot)
+            elif cfg.control.calctype == "S":
+                from ..geometry.surface import build_surf_full
+
+                cl = build_surf_full(cl, lat.surftype, int(lat.nlay),
+                                     cell.ntot)
             neighbor_map(cl, ct1=float(lat.ct[0]))
         g_logger.info(
             f"cluster built: kk={cl.kk}, nnmax={cl.nn.shape[1]}, "
@@ -154,6 +171,16 @@ class BulkSystem:
         return a, b2
 
     # ------------------------------------------------------------------
+    def _spmv_tables(self):
+        """Block-row tables for the SpMV: combined [hall; ee] rows with
+        per-atom indices in the impurity-local zone, plain per-type rows
+        otherwise.  Returns (blocks, blocks_o, iz_rows, iz_species)."""
+        hb = self.ham
+        if hb.blocks is not None:
+            return hb.blocks, hb.blocks_o, hb.iz_eff, hb.iz
+        return hb.ee, hb.eeo, hb.iz, hb.iz
+
+    # ------------------------------------------------------------------
     def run_block(self):
         """Block-Lanczos recursion (``recur_b``) for all rec atoms.
 
@@ -170,18 +197,20 @@ class BulkSystem:
         lsham = hb.lsham if hb.lsham is not None else np.zeros(
             (ntype, 18, 18), dtype=np.complex128
         )
+        blocks, blocks_o, iz_rows, iz_sp = self._spmv_tables()
         psi0 = block_start_vectors(cl.kk, rec_atoms)
         with g_timer.section("block-recursion"):
             a_b, b2_b = block_lanczos(
-                jnp.asarray(hb.ee),
+                jnp.asarray(blocks),
                 jnp.asarray(lsham),
-                jnp.asarray(hb.iz),
+                jnp.asarray(iz_rows),
                 jnp.asarray(hb.cols),
                 jnp.asarray(psi0),
                 lld,
                 hoh=hoh,
-                hso=jnp.asarray(hb.eeo) if hoh else None,
+                hso=jnp.asarray(blocks_o) if hoh else None,
                 enim=jnp.asarray(hb.enim) if hoh else None,
+                iz_onsite=jnp.asarray(iz_sp),
             )
         return np.asarray(a_b), np.asarray(b2_b)
 
@@ -205,20 +234,22 @@ class BulkSystem:
         )
         a = (emesh.energy_max - emesh.energy_min) / (2.0 - 0.3)
         b = (emesh.energy_max + emesh.energy_min) / 2.0
+        blocks, blocks_o, iz_rows, iz_sp = self._spmv_tables()
         psi0 = block_start_vectors(cl.kk, rec_atoms)
         with g_timer.section("chebyshev-recursion"):
             mu = chebyshev_moments(
-                jnp.asarray(hb.ee),
+                jnp.asarray(blocks),
                 jnp.asarray(lsham),
-                jnp.asarray(hb.iz),
+                jnp.asarray(iz_rows),
                 jnp.asarray(hb.cols),
                 jnp.asarray(psi0),
                 lld,
                 a,
                 b,
                 hoh=hoh,
-                hso=jnp.asarray(hb.eeo) if hoh else None,
+                hso=jnp.asarray(blocks_o) if hoh else None,
                 enim=jnp.asarray(hb.enim) if hoh else None,
+                iz_onsite=jnp.asarray(iz_sp),
             )
         return np.asarray(mu)
 

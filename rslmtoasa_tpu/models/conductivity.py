@@ -1,0 +1,272 @@
+"""Kubo-Bastin conductivity from 2-D Chebyshev moments.
+
+Implements the reference ``post_processing='conductivity'`` pipeline:
+
+* real-space velocity operators v = -i (d.r_ij) H_ij per neighbor slot
+  (``hamiltonian.f90 build_realspace_velocity_operators`` :1308-1368),
+  optional spin-current symmetrisation j^S = 1/2 {S_pol, v},
+* two-sided Chebyshev moment matrix mu_nm = <r| T_m(H~) v_a T_n(H~) v_b |r>
+  per type (``recursion.f90 compute_moments_stochastic`` :979-1234:
+  all left vectors T_m|r> are stored; the right chain applies
+  v_b then T_n then v_a),
+* Gamma_nm(E) per PRL 114, 116602 (2015) with the Lorentz kernel
+  (lambda = 6) and the (1 - w^2)^-2 factor
+  (``conductivity.f90 calculate_gamma_nm`` :158-224),
+* sigma(E): cumulative Fermi-weighted Simpson integral of
+  sum_nm Gamma_nm mu_nm with factor 16/(pi dE^2), written to
+  ``cond_total.out`` and per-type ``<El>_cond.out``
+  (``calculate_conductivity_tensor`` :226-376).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import JobConfig
+from ..physics.energy_mesh import EnergyMesh
+from ..physics.harmonics import cart2sph, L_X, L_Y, L_Z
+from ..ops.chebyshev import lorentz_kernel
+from ..utils.logger import g_logger
+from ..utils.timer import g_timer
+from .bulk import BulkSystem
+
+#: spin operators in the 18x18 spinor basis (math.f90 S_x/S_y/S_z :200-280)
+S_Z = np.zeros((18, 18), dtype=np.complex128)
+S_Z[:9, :9] = np.eye(9) * 0.5
+S_Z[9:, 9:] = -np.eye(9) * 0.5
+S_X = np.zeros((18, 18), dtype=np.complex128)
+S_X[:9, 9:] = np.eye(9) * 0.5
+S_X[9:, :9] = np.eye(9) * 0.5
+S_Y = np.zeros((18, 18), dtype=np.complex128)
+S_Y[:9, 9:] = -0.5j * np.eye(9)
+S_Y[9:, :9] = 0.5j * np.eye(9)
+
+
+def build_velocity_operators(sys: BulkSystem, v_alpha, v_beta,
+                             velocity_scale=None):
+    """Velocity-operator ELL blocks (v_a, v_b) per type/slot."""
+    cl = sys.cluster
+    hb = sys.ham
+    ntype, nslots = hb.ee.shape[0], hb.ee.shape[1]
+    v_a = np.zeros_like(hb.ee)
+    v_b = np.zeros_like(hb.ee)
+    dir_a = np.asarray(v_alpha, float)
+    dir_a /= np.linalg.norm(dir_a)
+    dir_b = np.asarray(v_beta, float)
+    dir_b /= np.linalg.norm(dir_b)
+    if velocity_scale is None:
+        velocity_scale = np.ones(ntype)
+    for t in range(ntype):
+        ia = int(cl.atlist[t]) - 1
+        nd = cl.dirs[int(cl.num[ia]) - 1].shape[0]
+        for m in range(1, nd + 1):
+            jj = int(cl.nn[ia, m - 1])
+            if jj < 0:
+                continue
+            rij = cl.wrap_diff((cl.cr_ang[ia] - cl.cr_ang[jj]))
+            dot_a = float(dir_a @ rij)
+            dot_b = float(dir_b @ rij)
+            v_a[t, m] = (1.0 / 1j) * dot_a * hb.ee[t, m]
+            jt = int(cl.iz[jj]) - 1
+            vsc = max(velocity_scale[t], velocity_scale[jt])
+            v_b[t, m] = (1.0 / 1j) * dot_b * hb.ee[t, m] * vsc
+    return v_a, v_b
+
+
+def spin_current(v: np.ndarray, pol: str = "z") -> np.ndarray:
+    """j^S = 1/2 {S_pol, v} applied per slot block."""
+    s_op = {"x": S_X, "y": S_Y, "z": S_Z}[pol]
+    return 0.5 * (np.einsum("ab,tmbc->tmac", s_op, v)
+                  + np.einsum("tmab,bc->tmac", v, s_op))
+
+
+def _spmv18_np(blocks, iz, cols, psi):
+    """NumPy block SpMV helper: y[i] = sum_m B[iz[i],m] @ psi[cols[i,m]]."""
+    pad = np.concatenate([psi, np.zeros((1,) + psi.shape[1:], psi.dtype)], 0)
+    hi = blocks[iz]
+    pg = pad[cols]
+    return np.einsum("imab,imbc->iac", hi, pg)
+
+
+class ConductivityCalculation:
+    def __init__(self, sys: BulkSystem, workdir: str = "."):
+        self.sys = sys
+        self.cfg = sys.cfg
+        self.workdir = workdir
+
+    # ------------------------------------------------------------------
+    def run(self, cond_type: str = "charge", pol_alpha: str = "z"):
+        cfg = self.cfg
+        sys = self.sys
+        cl = sys.cluster
+        emesh = EnergyMesh.build(cfg.energy)
+        sys.build_hamiltonian()
+        hb = sys.ham
+
+        nml = cfg.namelists.get("hamiltonian")
+        v_alpha = np.array([0.0, 1.0, 0.0])
+        v_beta = np.array([1.0, 0.0, 0.0])
+        if nml is not None:
+            va = np.zeros(3)
+            vb = np.zeros(3)
+            if nml.has("v_alpha"):
+                nml.fill_array("v_alpha", va)
+                v_alpha = va
+            if nml.has("v_beta"):
+                nml.fill_array("v_beta", vb)
+                v_beta = vb
+        v_a, v_b = build_velocity_operators(sys, v_alpha, v_beta)
+        if cond_type == "spin":
+            v_a = spin_current(v_a, pol_alpha)
+
+        cond_ll = cfg.control.cond_ll
+        a = (emesh.energy_max - emesh.energy_min) / (2.0 - 0.3)
+        b = (emesh.energy_max + emesh.energy_min) / 2.0
+
+        with g_timer.section("kubo-moments"):
+            mu_nm = self.compute_moments(v_a, v_b, a, b, cond_ll)
+
+        with g_timer.section("gamma-and-integrals"):
+            self.conductivity_tensor(mu_nm, emesh, a, b, cond_ll)
+        return mu_nm
+
+    # ------------------------------------------------------------------
+    def compute_moments(self, v_a, v_b, a, b, cond_ll):
+        """mu_nm (18, 18, n, m, ntype): two-sided Chebyshev moments.
+
+        Per-type unit-block start vectors (``cond_calctype='per_type'``).
+        Device path: scaled-H application is the same block SpMV as the
+        recursion engines.
+        """
+        sys = self.sys
+        cl = sys.cluster
+        hb = sys.ham
+        ntype = hb.ee.shape[0]
+        iz = np.asarray(hb.iz)
+        cols = np.asarray(hb.cols)
+        lsh = hb.lsham if hb.lsham is not None else np.zeros(
+            (ntype, 18, 18), np.complex128)
+
+        def apply_h(psi):
+            out = _spmv18_np(hb.ee, iz, cols, psi)
+            out += np.einsum("iab,ibc->iac", lsh[iz], psi)
+            return (out - b * psi) / a
+
+        def apply_v(op, psi):
+            return _spmv18_np(op, iz, cols, psi)
+
+        mu = np.zeros((18, 18, cond_ll, cond_ll, ntype), np.complex128)
+        for t in range(ntype):
+            j = int(cl.atlist[t]) - 1
+            psiref = np.zeros((cl.kk, 18, 18), np.complex128)
+            psiref[j] = np.eye(18)
+            # left vectors T_m(H~)|r> for all m
+            left = np.zeros((cond_ll, cl.kk, 18, 18), np.complex128)
+            w0 = np.zeros_like(psiref)
+            w1 = psiref.copy()
+            left[0] = w1
+            for m in range(1, cond_ll):
+                if m == 1:
+                    w0, w1 = w1, apply_h(w1)
+                else:
+                    w2 = 2.0 * apply_h(w1) - w0
+                    w0, w1 = w1, w2
+                left[m] = w1
+            # right chain v_a T_n(H~) v_b |r>
+            v0 = apply_v(v_b, psiref)
+            v1 = v0.copy()
+            vprev = np.zeros_like(v0)
+            for n in range(cond_ll):
+                if n == 1:
+                    vprev, v1 = v1, apply_h(v1)
+                elif n > 1:
+                    v2 = 2.0 * apply_h(v1) - vprev
+                    vprev, v1 = v1, v2
+                right = apply_v(v_a, v1)
+                # mu[:, :, n, m] = sum_k left_m[k]^H right[k]
+                mu[:, :, n, :, t] = np.einsum(
+                    "mkba,kbc->acm", left.conj(), right
+                )
+            g_logger.info(f"Kubo moments done for type {t + 1}")
+        return mu
+
+    # ------------------------------------------------------------------
+    def conductivity_tensor(self, mu_nm, emesh, a, b, cond_ll):
+        """Gamma_nm assembly + cumulative conductivity integrals."""
+        cfg = self.cfg
+        ene = emesh.ene
+        w = (ene - b) / a
+        acx = np.arccos(w)
+        sq = np.sqrt(1.0 - w**2)
+        kern = lorentz_kernel(cond_ll, 6.0)
+        weights = np.ones(cond_ll)
+        weights[0] = 0.5
+        n_idx = np.arange(cond_ll)
+        cn = (w[:, None] - 1j * n_idx[None, :] * sq[:, None]) \
+            * np.exp(1j * n_idx[None, :] * acx[:, None])
+        cm = (w[:, None] + 1j * n_idx[None, :] * sq[:, None]) \
+            * np.exp(-1j * n_idx[None, :] * acx[:, None])
+        tn = np.cos(n_idx[None, :] * acx[:, None])  # T_n(w)
+        de = emesh.energy_max - emesh.energy_min
+        factor = 16.0 / (np.pi * de**2)
+        kw = kern * weights
+
+        ntype = mu_nm.shape[4]
+        npts = emesh.npts
+        # integrand(E) per orbital: sum_nm Gamma_nm(E) mu_nm[l,l,n,m]
+        # Gamma_nm(E) = (cn_n T_m + cm_m T_n)/(1-w^2)^2 * k_n k_m w_n w_m
+        pref = 1.0 / (1.0 - w**2) ** 2
+        diag_mu = np.einsum("llnmt->lnmt", mu_nm)  # (18, n, m, ntype)
+        integrand_at = np.zeros((18, npts, ntype), np.complex128)
+        for t in range(ntype):
+            m1 = np.einsum("n,m,lnm->lnm", kw, kw, diag_mu[:, :, :, t])
+            # sum_nm cn_n T_m mu_nm + cm_m T_n mu_nm
+            term1 = np.einsum("en,em,lnm->le", cn, tn, m1)
+            term2 = np.einsum("em,en,lnm->le", cm, tn, m1)
+            integrand_at[:, :, t] = (term1 + term2) * pref[None, :] * factor
+
+        self._write_outputs(integrand_at, emesh, w)
+        return integrand_at
+
+    # ------------------------------------------------------------------
+    def _write_outputs(self, integrand_at, emesh, w):
+        from .exchange import simpson_f_fermi
+
+        cfg = self.cfg
+        ntype = integrand_at.shape[2]
+        tot = integrand_at.sum(axis=2)  # (18, NE)
+        tot_r = tot.real.sum(axis=0)
+        tot_i = tot.imag.sum(axis=0)
+        npts = emesh.npts
+        a = (emesh.energy_max - emesh.energy_min) / (2.0 - 0.3)
+        b = (emesh.energy_max + emesh.energy_min) / 2.0
+
+        def cumulative(y):
+            # cumulative Fermi-cut Simpson over the scaled variable w
+            out = np.zeros(npts)
+            for i in range(npts):
+                out[i] = simpson_f_fermi(y, w, w[i], emesh.nv1)
+            return out
+
+        cum_r = cumulative(tot_r) / ntype
+        cum_i = cumulative(tot_i) / ntype
+        with open(os.path.join(self.workdir, "cond_total.out"), "w") as fh:
+            for i in range(npts):
+                fh.write(f"{a * w[i] + b - emesh.fermi:16.6e}"
+                         f"{cum_r[i]:16.6e}{cum_i[i]:16.6e}\n")
+        for t in range(ntype):
+            sym = self.sys.atoms[t].element.symbol
+            yr = integrand_at[:, :, t].real.sum(axis=0)
+            yi = integrand_at[:, :, t].imag.sum(axis=0)
+            cr = cumulative(yr)
+            ci = cumulative(yi)
+            with open(os.path.join(self.workdir, f"{sym}_cond.out"),
+                      "w") as fh:
+                for i in range(npts):
+                    fh.write(f"{a * w[i] + b - emesh.fermi:16.6e}"
+                             f"{cr[i]:16.6e}{ci[i]:16.6e}\n")

@@ -19,7 +19,7 @@ from ..config import JobConfig
 from ..physics.atomsphere import atomsc, potpar, racsi
 from ..physics.bands import Bands
 from ..physics.energy_mesh import EnergyMesh
-from ..physics.madelung import MadelungMatrix, bulkpot
+from ..physics.madelung import MadelungMatrix, bulkpot, impmad, imppot
 from ..physics.mixer import Mixer
 from ..physics.radial import mesh_b
 from ..utils.logger import g_logger
@@ -48,15 +48,19 @@ class SelfConsistency:
         self.nrec = cl.nrec
         self.mix = Mixer(self.nrec, beta=self.cfg.mix.beta,
                          mixtype=self.cfg.mix.mixtype)
-        qqv = sum(sys.atoms[self.iz_rec[i]].element.valence
-                  for i in range(cl.cell.ntot))
+        # valence from the bulk species (calculate_fermi :252-253)
+        qqv = sum(sys.atoms[t].element.valence
+                  for t in range(cl.cell.ntot))
         self.qqv = float(qqv)
         self.madelung: Optional[MadelungMatrix] = None
+        self.amad_imp = None
         if self.cfg.control.calctype == "B":
             with g_timer.section("madelung-matrix"):
                 self.madelung = MadelungMatrix.bulk(
                     cl.cell.a, cl.cell.crd, cl.alat
                 )
+        elif self.cfg.control.calctype == "I":
+            self.amad_imp = impmad(cl.cr, cl.alat, cl.wav, cl.nbas)
         self.fermi = self.cfg.energy.fermi
         self.state = SCFState()
 
@@ -151,6 +155,23 @@ class SelfConsistency:
             if cfg.control.calctype == "B" and self.madelung is not None:
                 iz_bas = [int(z) - 1 for z in sys.cluster.cell.izp]
                 bulkpot(self.madelung.amad, dq, iz_bas, sys.atoms, self.iz_rec)
+            elif cfg.control.calctype == "I":
+                # bulk host charge transfers (get_charge_transf :402-416)
+                bulk_charge = np.array([
+                    sys.atoms[t].potential.ql[0].sum()
+                    - sys.atoms[t].element.valence
+                    for t in range(sys.cluster.nbulk)
+                ])
+                imppot(self.amad_imp, dq, bulk_charge,
+                       sys.cluster.chargetrf_type, sys.atoms, self.iz_rec,
+                       sys.cluster.nbulk)
+            elif cfg.control.calctype == "S":
+                # TODO(surface): the 2D layered Ewald (surfmat/madl2r/madl2d)
+                # is not implemented yet; surface vmad stays at its input
+                # value (fine for fixed-potential slab spectra, not for
+                # charge-self-consistent surface relaxation)
+                g_logger.warning("surface Madelung (surfpot) not yet "
+                                 "implemented; vmad frozen")
             self.mix.save_to("current", sys.atoms, self.iz_rec)
 
             # ---------------- atomic spheres ------------------------
@@ -229,9 +250,9 @@ class SelfConsistency:
 
     # ------------------------------------------------------------------
     def save_checkpoints(self):
-        """Write ``<El>_out.nml`` checkpoints (``save_state_scf``)."""
-        for isp in sorted(set(self.iz_rec)):
-            at = self.sys.atoms[isp]
+        """Write ``<El>_out.nml`` checkpoints for every species
+        (``save_state_scf`` writes all symbolic atoms)."""
+        for at in self.sys.atoms:
             pot = at.potential
             el = at.element
             out = write_namelist("element", {

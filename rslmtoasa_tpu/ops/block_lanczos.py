@@ -54,21 +54,23 @@ def _eig_sqrt(b2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 @partial(jax.jit, static_argnames=("lld", "hoh"))
 def block_lanczos(
-    hs: jnp.ndarray,  # (ntype, nslots, 18, 18) ee blocks
+    hs: jnp.ndarray,  # (nrows, nslots, 18, 18) block-row table
     lsham: jnp.ndarray,  # (ntype, 18, 18) SOC (zeros if disabled)
-    iz: jnp.ndarray,
+    iz: jnp.ndarray,  # per-atom row index into hs
     cols: jnp.ndarray,
     psi0: jnp.ndarray,  # (R, kk+1, 18, 18) start blocks, zero pad row
     lld: int,
     hoh: bool = False,
-    hso: Optional[jnp.ndarray] = None,  # (ntype, nslots, 18, 18) eeo blocks
+    hso: Optional[jnp.ndarray] = None,  # (nrows, nslots, 18, 18) eeo blocks
     enim: Optional[jnp.ndarray] = None,  # (ntype, 18, 18)
+    iz_onsite: Optional[jnp.ndarray] = None,  # species index for onsite ops
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the block recursion; returns (a_b, b2_b) of shape
     (lld, R, 18, 18) with the reference conventions: b2_b[0] = I,
     a_b[lld-1] = 0, b2_b[lld-1] = last residual Gram matrix."""
     r, kk1 = psi0.shape[0], psi0.shape[1]
     eye = jnp.eye(18, dtype=psi0.dtype)
+    izo = iz if iz_onsite is None else iz_onsite
 
     def apply_h(psi):
         if hoh:
@@ -77,12 +79,12 @@ def block_lanczos(
                 [hpsi, jnp.zeros((r, 1, 18, 18), psi.dtype)], axis=1
             )
             hohpsi = _spmv18(hso, iz, cols, hpsi_pad)
-            enupsi = _onsite18(enim, iz, psi)
-            socpsi = _onsite18(lsham, iz, psi)
+            enupsi = _onsite18(enim, izo, psi)
+            socpsi = _onsite18(lsham, izo, psi)
             return hpsi - hohpsi + enupsi + socpsi
         # non-HoH: lsham folds into the onsite slot
         hpsi = _spmv18(hs, iz, cols, psi)
-        return hpsi + _onsite18(lsham, iz, psi)
+        return hpsi + _onsite18(lsham, izo, psi)
 
     def step(carry, _):
         psi, pmn, sum_b_prev = carry

@@ -36,9 +36,11 @@ def chebyshev_moments(
     hoh: bool = False,
     hso: Optional[jnp.ndarray] = None,
     enim: Optional[jnp.ndarray] = None,
+    iz_onsite: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Block Chebyshev moments mu_n of shape (2*lld+2, R, 18, 18)."""
     r = psi0.shape[0]
+    izo = iz if iz_onsite is None else iz_onsite
 
     def apply_h(psi):
         """(H psi - b psi)/a with onsite lsham (and HoH corrections)."""
@@ -48,10 +50,10 @@ def chebyshev_moments(
                 [hpsi, jnp.zeros((r, 1, 18, 18), psi.dtype)], axis=1
             )
             hohpsi = _spmv18(hso, iz, cols, hpsi_pad)
-            hpsi = hpsi - hohpsi + _onsite18(enim, iz, psi) \
-                + _onsite18(lsham, iz, psi)
+            hpsi = hpsi - hohpsi + _onsite18(enim, izo, psi) \
+                + _onsite18(lsham, izo, psi)
         else:
-            hpsi = _spmv18(hs, iz, cols, psi) + _onsite18(lsham, iz, psi)
+            hpsi = _spmv18(hs, iz, cols, psi) + _onsite18(lsham, izo, psi)
         return (hpsi - b * psi[:, :-1]) / a
 
     def pad(x):

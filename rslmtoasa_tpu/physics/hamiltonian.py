@@ -28,6 +28,60 @@ from ..geometry.cluster import Cluster, EPS_VEC
 from .harmonics import cart2sph, L_X, L_Y, L_Z
 
 
+def _attach_locham(hb: "HamiltonianBlocks", cl, atoms, sbars, sbarvecs,
+                   hoh: bool) -> None:
+    """Impurity-local Hamiltonian (``build_locham`` :1618-1668): per-atom
+    blocks for the nmax perturbed atoms, assembled from each atom's actual
+    species.  The device tables become [hall(atom rows); ee(type rows)] with
+    per-atom row indices for the local zone."""
+    nmax = cl.nmax
+    nslots = hb.nslots
+    hall = np.zeros((nmax, nslots, 18, 18), dtype=np.complex128)
+    for i in range(nmax):
+        it = int(cl.iz[i]) - 1
+        site = int(cl.num[i]) - 1
+        sb, svec = sbars[site], sbarvecs[site]
+        nd = cl.dirs[site].shape[0]
+        for m in range(nd + 1):
+            if m == 0:
+                jj = i
+                vet = np.zeros(3)
+            else:
+                jj = int(cl.nn[i, m - 1])
+                if jj < 0:
+                    continue
+                vet = cl.wrap_diff(cl.cr_ang[jj] - cl.cr_ang[i])
+            jt = int(cl.iz[jj]) - 1
+            d2 = ((svec - vet[None, :]) ** 2).sum(axis=1)
+            k = int(np.argmin(d2))
+            if d2[k] >= EPS_VEC:
+                continue
+            blk, _ = ham0m_nc(
+                atoms[it].potential, atoms[jt].potential, m == 0,
+                sb[k].T, hoh=hoh,
+            )
+            hall[i, m] = blk
+    hb.hall = hall
+    # combined tables: row i<nmax -> hall[i]; else ee[type]
+    hb.blocks = np.concatenate([hall, hb.ee], axis=0)
+    iz_eff = hb.iz.astype(np.int32) + nmax
+    iz_eff[:nmax] = np.arange(nmax, dtype=np.int32)
+    hb.iz_eff = iz_eff
+    if hoh:
+        hallo = np.zeros_like(hall)
+        obarm = hb.obarm
+        for i in range(nmax):
+            nd = cl.dirs[int(cl.num[i]) - 1].shape[0]
+            for m in range(nd + 1):
+                jj = i if m == 0 else int(cl.nn[i, m - 1])
+                if jj < 0:
+                    continue
+                ji = int(cl.iz[jj]) - 1
+                hallo[i, m] = hall[i, m] @ obarm[ji]
+        hb.hallo = hallo
+        hb.blocks_o = np.concatenate([hallo, hb.eeo], axis=0)
+
+
 @dataclass
 class HamiltonianBlocks:
     """ELL-format BSR Hamiltonian for the cluster.
@@ -47,6 +101,12 @@ class HamiltonianBlocks:
     eeoee: Optional[np.ndarray] = None  # HoH: eeo @ ee^H
     enim: Optional[np.ndarray] = None  # (ntype, 18, 18) HoH onsite correction
     obarm: Optional[np.ndarray] = None  # (ntype, 18, 18)
+    # impurity-local zone (build_locham): per-atom rows + combined tables
+    hall: Optional[np.ndarray] = None  # (nmax, nslots, 18, 18)
+    hallo: Optional[np.ndarray] = None
+    blocks: Optional[np.ndarray] = None  # [hall; ee] combined row table
+    blocks_o: Optional[np.ndarray] = None
+    iz_eff: Optional[np.ndarray] = None  # per-atom row index into blocks
 
     @property
     def kk(self) -> int:
@@ -242,4 +302,6 @@ def build_bulkham(
                 eeoee[t, m] = eeo[t, m] @ ee[t, m].conj().T
         hb.eeo = eeo
         hb.eeoee = eeoee
+    if cl.nmax > 0:
+        _attach_locham(hb, cl, atoms, sbars, sbarvecs, hoh)
     return hb

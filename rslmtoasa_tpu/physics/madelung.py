@@ -182,6 +182,50 @@ class MadelungMatrix:
         return cls(amad=amad)
 
 
+ANG2AU = 1.8897259886
+
+
+def impmad(cr: np.ndarray, alat: float, wav: float, nbas: int) -> np.ndarray:
+    """Impurity point-charge Madelung matrix over the local region
+    (``impmad`` :997-1076): amad[i, j] = 2/|r_i - r_j| (a.u.), 2/ws onsite.
+    """
+    pos = cr[:nbas] * alat * ANG2AU
+    ws = wav * ANG2AU
+    d = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=2)
+    with np.errstate(divide="ignore"):
+        amad = 2.0 / d
+    np.fill_diagonal(amad, 2.0 / ws)
+    return amad
+
+
+def imppot(amad: np.ndarray, dq: np.ndarray, bulk_charge: np.ndarray,
+           chargetrf_type: Sequence[int], atoms, iz_rec: Sequence[int],
+           nbulk: int, vmix: float = 1.0):
+    """Impurity Madelung shifts (``imppot`` :417-489).
+
+    dq: per-rec-atom charge transfer; bulk_charge: per bulk species;
+    chargetrf_type: original species (1-based) of each local-region atom.
+    Updates potential.vmad for the impurity species in place.
+    """
+    nbas = amad.shape[0]
+    nrec = len(iz_rec)
+    tdq = np.zeros(nbas)
+    dif = 0.0
+    for iclas in range(nrec):
+        tdq[iclas] = dq[iclas] - bulk_charge[int(chargetrf_type[iclas]) - 1]
+        dif += tdq[iclas]
+    nsum = nbas - nrec
+    if nsum > 0:
+        tdq[nrec:] = -dif / nsum
+    for jbas in range(nrec):
+        ss = float(amad[jbas] @ tdq)
+        # add the host's vmad at that site (bulk species)
+        host = atoms[int(chargetrf_type[jbas]) - 1].potential.vmad
+        pot = atoms[iz_rec[jbas]].potential
+        vmad0 = ss + host
+        pot.vmad = vmad0 * vmix + vmad0 * (1.0 - vmix)
+
+
 def bulkpot(amad: np.ndarray, dq: np.ndarray, iz_bas: Sequence[int],
             atoms, iz_rec: Sequence[int], vmix: float = 1.0):
     """Per-iteration Madelung shifts (``bulkpot`` :333-400).
