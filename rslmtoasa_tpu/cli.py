@@ -70,16 +70,34 @@ def main(argv=None) -> int:
 
     sys_ = BulkSystem.build(cfg, workdir)
 
-    if post == "exchange":
+    if post in ("paoflow2rs", "exchange_p2rs", "conductivity_p2rs"):
+        # import an external PAOFLOW TB Hamiltonian in place of the
+        # LMTO-built one (post_processing_paoflow2rs, calculation.f90
+        # :643-838), then run the requested analysis on it
+        from .models.paoflow import import_paoflow
+
+        sys_.build_hamiltonian()
+        import_paoflow(
+            sys_, os.path.join(os.path.dirname(
+                os.path.abspath(input_file)), "paoham.dat")
+        )
+        sys_.freeze_ham = True
+
+    if post in ("exchange", "exchange_p2rs"):
         from .models.exchange import ExchangeCalculation
 
         xc = ExchangeCalculation(sys_, cfg.lattice.ijpair, workdir)
         xc.run()
-    elif post == "conductivity":
+    elif post in ("conductivity", "conductivity_p2rs"):
         from .models.conductivity import ConductivityCalculation
 
         cc = ConductivityCalculation(sys_, workdir)
         cc.run()
+    elif post == "paoflow2rs":
+        from .models.scf import SelfConsistency
+
+        scf = SelfConsistency(sys_, workdir)
+        scf.run()
     elif proc == "sd":
         from .models.spin_dynamics import SpinDynamics
 
@@ -94,6 +112,13 @@ def main(argv=None) -> int:
             f"SCF finished: converged={state.converged} "
             f"delta={state.delta:.3e}"
         )
+        if pre == "bravais" and getattr(scf, "bands", None) is not None:
+            # post-SCF exports of pre_processing_bravais
+            # (calculation.f90 :619-621): rs2pao + orbital quadrupoles
+            from .models.paoflow import export_rs2pao
+
+            export_rs2pao(sys_, os.path.join(workdir, "rs2paoham.dat"))
+            scf.bands.calculate_orbital_quadrupoles(scf.last_g0, workdir)
 
     print(g_timer.report())
     return 0

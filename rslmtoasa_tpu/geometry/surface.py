@@ -101,5 +101,6 @@ def build_surf_full(cl: Cluster, surftype: str, nlay: int,
     out.iu = out.ib[: cl.cell.ntot].copy()
     out.atlist = np.concatenate([out.ib, out.irec])
     out.natoms_layer = natoms_layer
+    out.miller = d
     out._ct1 = cl._ct1
     return out

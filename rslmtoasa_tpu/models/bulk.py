@@ -106,7 +106,13 @@ class BulkSystem:
 
     # ------------------------------------------------------------------
     def build_hamiltonian(self) -> HamiltonianBlocks:
-        """``run_recursion`` setup part: build_pot + build_bulkham."""
+        """``run_recursion`` setup part: build_pot + build_bulkham.
+
+        When ``freeze_ham`` is set (PAOFLOW-imported Hamiltonians), the
+        existing blocks are kept as-is.
+        """
+        if getattr(self, "freeze_ham", False) and self.ham is not None:
+            return self.ham
         for at in self.atoms:
             at.potential.build_pot()
         with g_timer.section("build-bulkham"):

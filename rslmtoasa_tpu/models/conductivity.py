@@ -85,14 +85,6 @@ def spin_current(v: np.ndarray, pol: str = "z") -> np.ndarray:
                   + np.einsum("tmab,bc->tmac", v, s_op))
 
 
-def _spmv18_np(blocks, iz, cols, psi):
-    """NumPy block SpMV helper: y[i] = sum_m B[iz[i],m] @ psi[cols[i,m]]."""
-    pad = np.concatenate([psi, np.zeros((1,) + psi.shape[1:], psi.dtype)], 0)
-    hi = blocks[iz]
-    pg = pad[cols]
-    return np.einsum("imab,imbc->iac", hi, pg)
-
-
 class ConductivityCalculation:
     def __init__(self, sys: BulkSystem, workdir: str = "."):
         self.sys = sys
@@ -152,46 +144,33 @@ class ConductivityCalculation:
         lsh = hb.lsham if hb.lsham is not None else np.zeros(
             (ntype, 18, 18), np.complex128)
 
-        def apply_h(psi):
-            out = _spmv18_np(hb.ee, iz, cols, psi)
-            out += np.einsum("iab,ibc->iac", lsh[iz], psi)
-            return (out - b * psi) / a
+        from ..ops.kubo import kubo_moments
 
-        def apply_v(op, psi):
-            return _spmv18_np(op, iz, cols, psi)
-
+        # device path: blocked left-chain storage, lax.scan right chains.
+        # complex128 on CPU (parity); complex64 on TPU (no c128 on v5e)
+        cdtype = (np.complex128 if jax.default_backend() == "cpu"
+                  else np.complex64)
+        # bound the stored left block to ~1 GB
+        per_vec = cl.kk * 324 * np.dtype(cdtype).itemsize
+        block_size = int(min(cond_ll, max(8, (1 << 30) // per_vec)))
+        jb = jnp.asarray(hb.ee, cdtype)
+        jlsh = jnp.asarray(lsh, cdtype)
+        jva = jnp.asarray(v_a, cdtype)
+        jvb = jnp.asarray(v_b, cdtype)
+        jiz = jnp.asarray(iz)
+        jcols = jnp.asarray(cols)
         mu = np.zeros((18, 18, cond_ll, cond_ll, ntype), np.complex128)
         for t in range(ntype):
             j = int(cl.atlist[t]) - 1
-            psiref = np.zeros((cl.kk, 18, 18), np.complex128)
+            psiref = np.zeros((cl.kk, 18, 18), cdtype)
             psiref[j] = np.eye(18)
-            # left vectors T_m(H~)|r> for all m
-            left = np.zeros((cond_ll, cl.kk, 18, 18), np.complex128)
-            w0 = np.zeros_like(psiref)
-            w1 = psiref.copy()
-            left[0] = w1
-            for m in range(1, cond_ll):
-                if m == 1:
-                    w0, w1 = w1, apply_h(w1)
-                else:
-                    w2 = 2.0 * apply_h(w1) - w0
-                    w0, w1 = w1, w2
-                left[m] = w1
-            # right chain v_a T_n(H~) v_b |r>
-            v0 = apply_v(v_b, psiref)
-            v1 = v0.copy()
-            vprev = np.zeros_like(v0)
-            for n in range(cond_ll):
-                if n == 1:
-                    vprev, v1 = v1, apply_h(v1)
-                elif n > 1:
-                    v2 = 2.0 * apply_h(v1) - vprev
-                    vprev, v1 = v1, v2
-                right = apply_v(v_a, v1)
-                # mu[:, :, n, m] = sum_k left_m[k]^H right[k]
-                mu[:, :, n, :, t] = np.einsum(
-                    "mkba,kbc->acm", left.conj(), right
-                )
+            mu_t = kubo_moments(
+                jb, jlsh, jiz, jcols, jva, jvb, jnp.asarray(psiref),
+                n_moments=cond_ll, block_size=block_size,
+                a=float(a), b=float(b),
+            )
+            # (n, m, 18, 18) -> mu[l1, l2, n, m]
+            mu[:, :, :, :, t] = np.transpose(np.asarray(mu_t), (2, 3, 0, 1))
             g_logger.info(f"Kubo moments done for type {t + 1}")
         return mu
 
@@ -235,7 +214,7 @@ class ConductivityCalculation:
 
     # ------------------------------------------------------------------
     def _write_outputs(self, integrand_at, emesh, w):
-        from .exchange import simpson_f_fermi
+        from ..physics.quadrature import simpson_f_cumulative
 
         cfg = self.cfg
         ntype = integrand_at.shape[2]
@@ -248,10 +227,7 @@ class ConductivityCalculation:
 
         def cumulative(y):
             # cumulative Fermi-cut Simpson over the scaled variable w
-            out = np.zeros(npts)
-            for i in range(npts):
-                out[i] = simpson_f_fermi(y, w, w[i], emesh.nv1)
-            return out
+            return simpson_f_cumulative(y, w, emesh.nv1)
 
         cum_r = cumulative(tot_r) / ntype
         cum_i = cumulative(tot_i) / ntype

@@ -28,6 +28,7 @@ from ..config import JobConfig
 from ..ops.block_lanczos import block_lanczos, zsqr
 from ..physics.greens import bgreen, get_terminf
 from ..physics.energy_mesh import EnergyMesh
+from ..physics.quadrature import simpson_f_cumulative, simpson_f_fermi
 from ..utils.logger import g_logger
 from ..utils.timer import g_timer
 from .bulk import BulkSystem
@@ -59,21 +60,6 @@ def pair_start_vectors(kk: int, pairs: np.ndarray) -> np.ndarray:
     return psi0
 
 
-def simpson_f_fermi(y: np.ndarray, ene: np.ndarray, ef: float,
-                    npts: int) -> float:
-    """Fermi-weighted Simpson integral (math.f90 ``simpson_f`` :1600-1633,
-    fermi=True branch, T=0 limit kbT=1e-15)."""
-    kbt = 0.633362019e-5 * 0.0 + 1.0e-15
-    h = ene[1] - ene[0]
-    with np.errstate(over="ignore"):
-        f = 1.0 / (np.exp((ene - ef) / kbt) + 1.0)
-    total = 0.0
-    # Fortran: do I = 2, NPTS+9, 2 over the full extended mesh
-    i = np.arange(2, npts + 10, 2)
-    i = i[i + 1 <= ene.shape[0]]
-    yf = y * f
-    total = np.sum(yf[i - 2] + 4.0 * yf[i - 1] + yf[i])
-    return float(h * total / 3.0)
 
 
 class ExchangeCalculation:
@@ -138,6 +124,9 @@ class ExchangeCalculation:
                    for k in "nxyz"}
         comps_j = {k: np.zeros((njij, 9, 9, ne), np.complex128)
                    for k in "nxyz"}
+        # full 18x18 intersite blocks, kept for damping / inertia
+        self.gij_full = np.zeros((njij, 18, 18, ne), np.complex128)
+        self.gji_full = np.zeros((njij, 18, 18, ne), np.complex128)
         for p, (i, j) in enumerate(self.pairs):
             sl = slice(4 * p, 4 * p + 4)
             a4 = a_b[:, sl]
@@ -155,6 +144,8 @@ class ExchangeCalculation:
                 diff = (1.0 / 1j) * (g4[2] - g4[3])
                 gij = 0.5 * (g4[0] - g4[1] + diff)
                 gji = 0.5 * (g4[0] - g4[1] - diff)
+            self.gij_full[p] = gij
+            self.gji_full[p] = gji
             for (comps, g) in ((comps_i, gij), (comps_j, gji)):
                 uu = g[0:9, 0:9]
                 dd = g[9:18, 9:18]
@@ -164,6 +155,8 @@ class ExchangeCalculation:
                 comps["z"][p] = 0.5 * (uu - dd)
                 comps["y"][p] = 0.5 * (1j * ud - 1j * du)
                 comps["x"][p] = 0.5 * (ud + du)
+        self.comps_i = comps_i
+        self.comps_j = comps_j
         return comps_i, comps_j
 
     # ------------------------------------------------------------------
@@ -241,3 +234,310 @@ class ExchangeCalculation:
                 f40.write(head
                           + "".join(f"{x:12.6f}" for x in r["aij"].T.ravel())
                           + f" {r['dist']:12.6f}\n")
+
+    # ------------------------------------------------------------------
+    def calculate_exchange_twoindex(self):
+        """Density/current-decomposed exchange (``exchange.f90
+        calculate_exchange_twoindex`` :84-337 and ``green.f90
+        calculate_intersite_gf_twoindex`` :386-423).
+
+        Each spin channel of the intersite GF is split into a density
+        (0) and a current (1) part via the m -> -m reflection
+        G^{c,0/1}_ij = (G^c_ij +/- refl(G^c_ji))/2 with
+        refl(G)[k, j] = (-1)^{k+j} G[2j0-j, 2k0-k]; second-order (so) and
+        first-order (fo) Jij/Dij/Aij combinations are integrated to E_F
+        and written to jijso/jijfo/jijparts/dijso/dijfo/dijparts/
+        aijso/aijfo/aijparts (+ the reference's empty jtens files and
+        its unit-150 cumulative Jij curve, fort.150).  Requires run().
+        """
+        import os
+
+        cl = self.sys.cluster
+        emesh = EnergyMesh.build(self.cfg.energy)
+        ne = emesh.npts
+
+        # m -> -m reflection table (1-based 2*k0-k) and sign matrix
+        q = np.arange(1, 10)
+        l1 = np.sqrt(q - 0.9).astype(int)
+        k0 = l1 * (l1 + 1) + 1
+        refl = 2 * k0 - q - 1  # 0-based reflected index
+        sign = (-1.0) ** (np.add.outer(np.arange(9), np.arange(9)))
+
+        def reflect(g):
+            # g: (9, 9, NE); returns (-1)^{k+j} g[R(j), R(k)]
+            return sign[:, :, None] * g[refl][:, refl].transpose(1, 0, 2)
+
+        def integrate(y):
+            return simpson_f_fermi(y, emesh.ene, emesh.fermi, emesh.nv1) \
+                * 1.0e3 / 4.0 / np.pi
+
+        files = {name: open(os.path.join(self.workdir, name + ".out"), "w")
+                 for name in ("jijso", "jijfo", "jijparts", "dijso",
+                              "dijfo", "dijparts", "aijso", "aijfo",
+                              "aijparts", "jtensso", "jtensfo")}
+        f150 = open(os.path.join(self.workdir, "fort.150"), "w")
+        try:
+            for p, (i, j) in enumerate(self.pairs):
+                it = int(cl.iz[i]) - 1
+                jt = int(cl.iz[j]) - 1
+                pot_i = self.sys.atoms[it].potential
+                pot_j = self.sys.atoms[jt].potential
+                di = np.stack([np.diag(pot_i.d_matrix(e))
+                               for e in emesh.ene])
+                dj = np.stack([np.diag(pot_j.d_matrix(e))
+                               for e in emesh.ene])
+
+                # two-index channel blocks, (NE, 9, 9)
+                ch = {}
+                for c in "nxyz":
+                    gi = self.comps_i[c][p]  # (9, 9, NE)
+                    gj = self.comps_j[c][p]
+                    rgj = reflect(gj)
+                    rgi = reflect(gi)
+                    ch[c + "0ij"] = (0.5 * (gi + rgj)).transpose(2, 0, 1)
+                    ch[c + "1ij"] = (0.5 * (gi - rgj)).transpose(2, 0, 1)
+                    ch[c + "0ji"] = (0.5 * (gj + rgi)).transpose(2, 0, 1)
+                    ch[c + "1ji"] = (0.5 * (gj - rgi)).transpose(2, 0, 1)
+
+                def dgdg(gij, gji):
+                    return np.matmul(di[:, :, None] * gij,
+                                     dj[:, :, None] * gji)
+
+                def tr(m):
+                    return np.trace(m, axis1=1, axis2=2)
+
+                jcd = tr(dgdg(ch["n0ij"], ch["n0ji"])).imag
+                jcc = tr(dgdg(ch["n1ij"], ch["n1ji"])).imag
+                jsd = sum(tr(dgdg(ch[c + "0ij"], ch[c + "0ji"])).imag
+                          for c in "xyz")
+                jsc = sum(tr(dgdg(ch[c + "1ij"], ch[c + "1ji"])).imag
+                          for c in "xyz")
+                jso = jcd - jsd + jcc - jsc
+                jfo = jcd + jsd - jcc - jsc
+
+                dsc = np.stack([tr(dgdg(ch["n0ij"], ch[c + "1ji"])).real
+                                for c in "xyz"], 1)
+                dcc = np.stack([tr(dgdg(ch["n1ij"], ch[c + "0ji"])).real
+                                for c in "xyz"], 1)
+                dso = 2.0 * (dsc + dcc)
+                dfo = 2.0 * (dsc - dcc)
+
+                isd = np.stack([np.stack([
+                    tr(dgdg(ch[a + "0ij"], ch[b + "0ji"])).imag
+                    for b in "xyz"], 1) for a in "xyz"], 1)  # (NE, 3, 3)
+                isc = np.stack([np.stack([
+                    tr(dgdg(ch[a + "1ij"], ch[b + "1ji"])).imag
+                    for b in "xyz"], 1) for a in "xyz"], 1)
+
+                rij = cl.cr[j] - cl.cr[i]
+                dist = float(np.linalg.norm(rij))
+                head = (f"{it + 1:8d}{jt + 1:8d}  "
+                        + "".join(f"{x:20.11e}" for x in rij) + "  ")
+
+                def row(f, vals):
+                    files[f].write(head + "".join(
+                        f"{v:16.6e}" for v in np.atleast_1d(vals)
+                    ) + f" {dist:12.6f}\n")
+
+                row("jijso", integrate(jso))
+                row("jijfo", integrate(jfo))
+                row("jijparts", [integrate(jcd), integrate(jsd),
+                                 integrate(jcc), integrate(jsc)])
+                row("dijso", [integrate(dso[:, k]) for k in range(3)])
+                row("dijfo", [integrate(dfo[:, k]) for k in range(3)])
+                row("dijparts",
+                    [2.0 * integrate(dcc[:, k]) for k in range(3)]
+                    + [2.0 * integrate(dsc[:, k]) for k in range(3)])
+                aso = np.array([[integrate((isd + isc)[:, k, l])
+                                 for l in range(3)] for k in range(3)])
+                afo = np.array([[integrate((-isd + isc)[:, k, l])
+                                 for l in range(3)] for k in range(3)])
+                row("aijso", aso.T.ravel())
+                row("aijfo", afo.T.ravel())
+                asd = np.array([[integrate(isd[:, k, l])
+                                 for l in range(3)] for k in range(3)])
+                asc = np.array([[integrate(isc[:, k, l])
+                                 for l in range(3)] for k in range(3)])
+                row("aijparts", np.concatenate([asd.T.ravel(),
+                                                asc.T.ravel()]))
+                cum = simpson_f_cumulative(jso, emesh.ene, emesh.nv1) \
+                    * 1.0e3 / 4.0 / np.pi
+                for nv in range(ne):
+                    f150.write(f" {emesh.ene[nv] - emesh.fermi:18.10e}"
+                               f" {cum[nv]:18.10e}\n")
+        finally:
+            for fh in files.values():
+                fh.close()
+            f150.close()
+
+    # ------------------------------------------------------------------
+    def calculate_gilbert_damping(self):
+        """Torque-correlation Gilbert damping per ij pair
+        (``exchange.f90 calculate_gilbert_damping`` :613-744).
+
+        alpha^{kl}_ij = -0.5/(pi m_i) Re tr[T^k_i A_ij T^l_j^dag A_ji]
+        with A_ij = g_ij - g_ji^dag the anti-Hermitian intersite GF and
+        T^k the collinear SOC torque operators.  Writes
+        ``damping-energy.out`` (accumulated over pairs vs energy) and
+        ``alldampings.out`` (per-pair tensor at E_F).  Requires run().
+        """
+        import os
+
+        cl = self.sys.cluster
+        emesh = EnergyMesh.build(self.cfg.energy)
+        ne = emesh.npts
+        tmat = torque_operator_collinear(self.sys.atoms)
+        total = np.zeros((9, ne))
+        ief = int(np.argmin(np.abs(emesh.ene - emesh.fermi)))
+        rows = []
+        factor = 1.0
+        for p, (i, j) in enumerate(self.pairs):
+            it = int(cl.iz[i]) - 1
+            jt = int(cl.iz[j]) - 1
+            gij = self.gij_full[p].transpose(2, 0, 1)  # (NE, 18, 18)
+            gji = self.gji_full[p].transpose(2, 0, 1)
+            aij = gij - np.conj(gji).transpose(0, 2, 1)
+            aji = gji - np.conj(gij).transpose(0, 2, 1)
+            pot_i = self.sys.atoms[it].potential
+            spin_i = float(
+                (pot_i.ql[0, :, 0] - pot_i.ql[0, :, 1]).sum()
+            )
+            factor = -0.25 * 2.0 / (np.pi * spin_i)
+            dt = np.zeros((9, ne))
+            m = 0
+            for k in range(3):
+                tk_aij = np.matmul(tmat[it, k][None], aij)
+                for l in range(3):
+                    tl_aji = np.matmul(
+                        np.conj(tmat[jt, l]).T[None], aji
+                    )
+                    dt[m] = np.real(np.einsum(
+                        "nab,nba->n", tk_aij, tl_aji
+                    ))
+                    m += 1
+            total += dt
+            rij = cl.cr[i] - cl.cr[j]
+            dist = float(np.linalg.norm(rij))
+            rows.append(
+                f"{i + 1:7d}{j + 1:7d}"
+                + "".join(f"{factor * v:14.9f}" for v in dt[:, ief])
+                + f"{0.5 * factor * (dt[0, ief] + dt[4, ief]):14.9f}"
+                + f"{dist:10.6f}"
+                + "".join(f"{v:10.6f}" for v in rij) + "\n"
+            )
+        with open(os.path.join(self.workdir, "alldampings.out"), "w") as fh:
+            fh.write("    #i     #j   #xx #xy #xz #yx #yy #yz #zx #zy #zz"
+                     " #0.5*(xx+yy) #Dist #rij\n")
+            fh.writelines(rows)
+        with open(os.path.join(self.workdir, "damping-energy.out"),
+                  "w") as fh:
+            fh.write("#Energy (E-Ef) #xx #xy #xz #yx #yy #yz #zx #zy #zz\n")
+            for nv in range(ne):
+                fh.write(f"{emesh.ene[nv] - emesh.fermi:14.9f}" + "".join(
+                    f"{factor * total[m, nv]:14.9f}" for m in range(9)
+                ) + "\n")
+        return factor * total[:, ief]
+
+    # ------------------------------------------------------------------
+    def calculate_moment_of_inertia(self):
+        """Torque-correlation moment of inertia (``exchange.f90``
+        :755-912, Sci. Rep. 7, 931 (2017)).
+
+        I^{kl}_ij ~ Re tr[T^k A_ij T^l^dag B''_ji + T^k B''_ij T^l^dag
+        A_ji] with B the Hermitian GF part and B'' its second energy
+        derivative.  Deviation: the reference evaluates the tensor with
+        an out-of-range energy index after its loop (:873-886, Fortran
+        UB) and never writes it; here the tensor is evaluated at E_F.
+        Writes ``example-real.out``/``example-imag.out`` (B(1,1) traces)
+        as the reference does.  Returns the (9,) tensor at E_F per pair
+        summed.
+        """
+        import os
+
+        cl = self.sys.cluster
+        emesh = EnergyMesh.build(self.cfg.energy)
+        ne = emesh.npts
+        h = emesh.ene[1] - emesh.ene[0]
+        tmat = torque_operator_collinear(self.sys.atoms)
+        ief = int(np.argmin(np.abs(emesh.ene - emesh.fermi)))
+        total = np.zeros(9)
+        fre = open(os.path.join(self.workdir, "example-real.out"), "w")
+        fim = open(os.path.join(self.workdir, "example-imag.out"), "w")
+        for p, (i, j) in enumerate(self.pairs):
+            it = int(cl.iz[i]) - 1
+            jt = int(cl.iz[j]) - 1
+            gij = self.gij_full[p].transpose(2, 0, 1)
+            gji = self.gji_full[p].transpose(2, 0, 1)
+            aij = gij - np.conj(gji).transpose(0, 2, 1)
+            aji = gji - np.conj(gij).transpose(0, 2, 1)
+            bij = gij + np.conj(gji).transpose(0, 2, 1)
+            bji = gji + np.conj(gij).transpose(0, 2, 1)
+
+            def d2(b):
+                out = np.zeros_like(b)
+                out[1:-1] = (b[2:] - 2.0 * b[1:-1] + b[:-2]) / h**2
+                return out
+
+            sbij = d2(bij)
+            sbji = d2(bji)
+            for nv in range(ne):
+                fre.write(f"{emesh.ene[nv]:18.10e}"
+                          f"{bij[nv, 0, 0].real:18.10e}"
+                          f"{sbij[nv, 0, 0].real:18.10e}\n")
+                fim.write(f"{emesh.ene[nv]:18.10e}"
+                          f"{bij[nv, 0, 0].imag:18.10e}"
+                          f"{sbij[nv, 0, 0].imag:18.10e}\n")
+            m = 0
+            for k in range(3):
+                for l in range(3):
+                    t5 = (tmat[it, k] @ aij[ief]) \
+                        @ (np.conj(tmat[jt, l]).T @ sbji[ief])
+                    t6 = (tmat[it, k] @ sbij[ief]) \
+                        @ (np.conj(tmat[jt, l]).T @ aji[ief])
+                    total[m] += np.trace(t5 + t6).real
+                    m += 1
+        fre.close()
+        fim.close()
+        return total
+
+
+def torque_operator_collinear(atoms) -> np.ndarray:
+    """Collinear SOC torque operators T^x/T^y/T^z per type
+    (``hamiltonian.f90 torque_operator_collinear`` :1429-1475).
+
+    Returns (ntype, 3, 18, 18).  The prefactor is 0.5 sqrt(xi_p1 xi_p2)
+    on the p block and 0.5 sqrt(xi_d1 xi_d2) on the d block; mixed-l
+    blocks are irrelevant because L is block-diagonal in l (the
+    reference's stale-prefactor carry-over multiplies exact zeros).
+    """
+    from ..physics.harmonics import L_X, L_Y, L_Z, cart2sph
+
+    lx = cart2sph(L_X)
+    ly = cart2sph(L_Y)
+    lz = cart2sph(L_Z)
+    ntype = len(atoms)
+    tmat = np.zeros((ntype, 3, 18, 18), np.complex128)
+    for t, at in enumerate(atoms):
+        pot = at.potential
+        soc_p = 0.5 * np.sqrt(pot.xi_p[0] * pot.xi_p[1])
+        soc_d = 0.5 * np.sqrt(pot.xi_d[0] * pot.xi_d[1])
+        pref = np.zeros((9, 9))
+        pref[1:4, 1:4] = soc_p
+        pref[4:9, 4:9] = soc_d
+        plx = pref * lx
+        ply = pref * ly
+        plz = pref * lz
+        # T^x
+        tmat[t, 0, :9, :9] = 2j * ply
+        tmat[t, 0, :9, 9:] = -2.0 * plz
+        tmat[t, 0, 9:, :9] = 2.0 * plz
+        tmat[t, 0, 9:, 9:] = -2j * ply
+        # T^y
+        tmat[t, 1, :9, :9] = -2j * plx
+        tmat[t, 1, :9, 9:] = 2j * plz
+        tmat[t, 1, 9:, :9] = 2j * plz
+        tmat[t, 1, 9:, 9:] = 2j * plx
+        # T^z
+        tmat[t, 2, :9, 9:] = 2.0 * (plx - 1j * ply)
+        tmat[t, 2, 9:, :9] = -2.0 * (plx + 1j * ply)
+    return tmat

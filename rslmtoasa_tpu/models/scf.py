@@ -61,6 +61,12 @@ class SelfConsistency:
                 )
         elif self.cfg.control.calctype == "I":
             self.amad_imp = impmad(cl.cr, cl.alat, cl.wav, cl.nbas)
+        elif self.cfg.control.calctype == "S":
+            from ..physics.madelung_surf import SurfaceMadelung, build_alelay
+
+            with g_timer.section("madelung-surface"):
+                bs, q3 = build_alelay(cl.cr, cl.num, cl.miller)
+                self.smad = SurfaceMadelung(bs, q3, cl.nbas, cl.alat, cl.wav)
         self.fermi = self.cfg.energy.fermi
         self.state = SCFState()
 
@@ -145,7 +151,12 @@ class SelfConsistency:
                 mag_mix = self.mix.mix_magnetic_moments(mtot)
                 for ia, isp in enumerate(self.iz_rec):
                     sys.atoms[isp].potential.mom = mag_mix[ia]
+                # orbital moments run at the top of calculate_moments
+                # (bands.f90 :435)
+                bands.calculate_orbital_moments(g0, self.workdir)
                 bands.calculate_moments(g0)
+                self.bands = bands
+                self.last_g0 = g0
                 self.mix.save_to("new", sys.atoms, self.iz_rec)
                 self.fermi = emesh.fermi
 
@@ -166,12 +177,15 @@ class SelfConsistency:
                        sys.cluster.chargetrf_type, sys.atoms, self.iz_rec,
                        sys.cluster.nbulk)
             elif cfg.control.calctype == "S":
-                # TODO(surface): the 2D layered Ewald (surfmat/madl2r/madl2d)
-                # is not implemented yet; surface vmad stays at its input
-                # value (fine for fixed-potential slab spectra, not for
-                # charge-self-consistent surface relaxation)
-                g_logger.warning("surface Madelung (surfpot) not yet "
-                                 "implemented; vmad frozen")
+                from ..physics.madelung_surf import surfpot
+
+                vmix = 1.0
+                ch = cfg.namelists.get("charge")
+                if ch is not None and ch.has("vmix"):
+                    vmix = float(ch.get_scalar("vmix"))
+                surfpot(self.smad, dq, sys.cluster.natoms_layer,
+                        int(cfg.lattice.nlay), sys.atoms, self.iz_rec,
+                        sys.cluster.nbulk, vmix=vmix, logger=g_logger)
             self.mix.save_to("current", sys.atoms, self.iz_rec)
 
             # ---------------- atomic spheres ------------------------
@@ -196,7 +210,9 @@ class SelfConsistency:
 
         cfg = self.cfg
         wsm = self.sys.cluster.wav * ANG2AU
-        use_native = native.available()
+        # the C++ twin implements the LDA functionals only; gradient
+        # functionals (txc 5/8/9) run the Python radial solver
+        use_native = native.available() and cfg.control.txc not in (5, 8, 9)
         for ia, isp in enumerate(self.iz_rec):
             at = self.sys.atoms[isp]
             pot = at.potential

@@ -1,0 +1,102 @@
+"""Device (XLA) path for the two-sided Kubo-Bastin Chebyshev moments.
+
+Computes mu_nm = <r| T_m(H~) v_a T_n(H~) v_b |r> (the moment matrix of
+``recursion.f90 compute_moments_stochastic`` :979-1234) with bounded
+memory: instead of materialising all N left vectors T_m|r> (O(N kk 18^2),
+tens of GB at production cond_ll), the left chain is generated in blocks
+of ``block_size`` and a full right chain is replayed per block inside a
+``lax.scan``.  Work: N + (N/Mb) N block SpMVs; memory: Mb kk 18^2.
+
+Every inner step is two batched 18x18 block matmuls (SpMV + the
+left-block contraction) - MXU-shaped work.  Dtype follows the inputs:
+complex128 on CPU (parity), complex64 on TPU (no c128 on v5e; KPM
+moments are kernel-smoothed so f32 noise is far below the Lorentz
+broadening).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+def _spmv(blocks, iz, cols, psi):
+    """y[i] = sum_m blocks[iz[i], m] @ psi[cols[i, m]]; psi (kk, 18, W).
+
+    Sentinel column index kk selects the appended zero row.
+    """
+    pad = jnp.concatenate(
+        [psi, jnp.zeros((1,) + psi.shape[1:], psi.dtype)], axis=0
+    )
+    return jnp.einsum("imab,imbc->iac", blocks[iz], pad[cols])
+
+
+def _apply_h(blocks, lsham, iz, iz_onsite, cols, a, b, psi):
+    out = _spmv(blocks, iz, cols, psi)
+    out = out + jnp.einsum("iab,ibc->iac", lsham[iz_onsite], psi)
+    return (out - b * psi) / a
+
+
+@partial(jax.jit, static_argnames=("n_moments", "block_size"))
+def kubo_moments(blocks, lsham, iz, cols, va, vb, psi0, *,
+                 n_moments: int, block_size: int, a: float, b: float,
+                 iz_onsite=None):
+    """Two-sided Chebyshev moment matrix for one start block.
+
+    blocks/va/vb: (ntype, nslots, 18, 18) ELL tables; psi0: (kk, 18, 18)
+    unit start block.  Returns mu (n_moments, n_moments, 18, 18) with
+    mu[n, m] = sum_k T_m(H~)|r>[k]^H  (v_a T_n(H~) v_b |r>)[k].
+    """
+    if iz_onsite is None:
+        iz_onsite = iz
+    apply_h = partial(_apply_h, blocks, lsham, iz, iz_onsite, cols, a, b)
+    apply_va = lambda p: _spmv(va, iz, cols, p)
+    apply_vb = lambda p: _spmv(vb, iz, cols, p)
+
+    nblocks = (n_moments + block_size - 1) // block_size
+
+    def left_block(carry, _):
+        # emit the next block_size left vectors, carrying (m, w0, w1)
+        m, w0, w1 = carry
+
+        def one(c, _):
+            m, w0, w1 = c
+            w2 = jnp.where(m == 0, w1,
+                           jnp.where(m == 1, apply_h(w1),
+                                     2.0 * apply_h(w1) - w0))
+            return (m + 1, jnp.where(m == 0, w0, w1), w2), w2
+
+        (m, w0, w1), blk = jax.lax.scan(one, (m, w0, w1), None,
+                                        length=block_size)
+        return (m, w0, w1), blk
+
+    def right_over_block(lblk):
+        # full right chain, contracting each T_n v_b|r> against lblk
+        v0 = apply_vb(psi0)
+
+        def one(c, _):
+            n, vprev, v1 = c
+            v2 = jnp.where(n == 0, v1,
+                           jnp.where(n == 1, apply_h(v1),
+                                     2.0 * apply_h(v1) - vprev))
+            right = apply_va(v2)
+            mu_n = jnp.einsum("mkba,kbc->mac", lblk.conj(), right)
+            return (n + 1, jnp.where(n == 0, vprev, v1), v2), mu_n
+
+        _, mu = jax.lax.scan(
+            one, (0, jnp.zeros_like(v0), v0), None, length=n_moments
+        )
+        return mu  # (n_moments, block_size, 18, 18)
+
+    def outer(carry, _):
+        carry, lblk = left_block(carry, None)
+        return carry, right_over_block(lblk)
+
+    init = (0, jnp.zeros_like(psi0), psi0)
+    _, mu = jax.lax.scan(outer, init, None, length=nblocks)
+    # (nblocks, n, Mb, 18, 18) -> (n, nblocks*Mb, 18, 18)
+    mu = jnp.moveaxis(mu, 0, 1).reshape(
+        n_moments, nblocks * block_size, 18, 18
+    )
+    return mu[:, :n_moments]

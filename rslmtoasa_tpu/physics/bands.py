@@ -217,3 +217,103 @@ class Bands:
     def calculate_band_energy(self) -> float:
         return simpson_m(self.em.edel, self.em.fermi, self.nv1, self.dtot,
                          self.e1, 1, self.em.ene)
+
+    # ---------------------------------------------------------------
+    def _l_operators_18(self):
+        """L_x/L_y/L_z in spherical harmonics, spin-block-diagonal 18x18
+        (``calculate_orbital_moments`` :1094-1111)."""
+        from .harmonics import L_X, L_Y, L_Z, cart2sph
+
+        ops = []
+        for lop in (L_X, L_Y, L_Z):
+            l9 = cart2sph(lop)
+            l18 = np.zeros((18, 18), dtype=np.complex128)
+            l18[:9, :9] = l9
+            l18[9:, 9:] = l9
+            ops.append(l18)
+        return ops
+
+    # ---------------------------------------------------------------
+    def calculate_orbital_moments(self, g0: np.ndarray, workdir=None):
+        """Orbital moments l_mom = -(1/pi) int^EF Im tr[L_a g0(E)] dE
+        (``calculate_orbital_moments`` :1075-1156).  Writes
+        ``<El>_orbene.out`` cumulative curves when workdir is given.
+        """
+        import os
+
+        from .quadrature import simpson_f_cumulative
+
+        em = self.em
+        ops = self._l_operators_18()
+        for na, isp in enumerate(self.iz_rec):
+            pot = self.atoms[isp].potential
+            # integrand per energy: Im tr[L g0]
+            li = np.stack([
+                np.einsum("ab,ban->n", op, g0[na]).imag for op in ops
+            ])  # (3, NE)
+            lmom = np.array([
+                -simpson_m(em.edel, em.fermi, self.nv1, li[c], self.e1, 0,
+                           em.ene) / np.pi
+                for c in range(3)
+            ])
+            pot.lmom = lmom
+            if workdir is not None:
+                sym = self.atoms[isp].element.symbol
+                cum = np.stack([
+                    simpson_f_cumulative(li[c], em.ene, em.nv1)
+                    for c in range(3)
+                ])
+                path = os.path.join(workdir, f"{sym}_orbene.out")
+                with open(path, "w") as fh:
+                    for ie in range(em.npts):
+                        fh.write(f"{em.ene[ie] - em.fermi:16.6e}" + "".join(
+                            f"{-cum[c, ie] / np.pi:16.6e}" for c in range(3)
+                        ) + "\n")
+
+    # ---------------------------------------------------------------
+    def calculate_orbital_quadrupoles(self, g0: np.ndarray, workdir=None):
+        """Orbital quadrupoles Q_ab = <1/2 {L_a, L_b}> per rec atom
+        (``calculate_orbital_quadrupoles`` :878-1067).  Returns
+        (nrec, 8) rows [Qxx Qyy Qzz Qxy Qyz Qzx Qx2y2 Q3z2r2]; writes
+        ``<El>_orbquadene.out`` when workdir is given.
+        """
+        import os
+
+        from .quadrature import simpson_f_cumulative
+
+        em = self.em
+        lx, ly, lz = self._l_operators_18()
+        qops = [lx @ lx, ly @ ly, lz @ lz,
+                0.5 * (lx @ ly + ly @ lx),
+                0.5 * (ly @ lz + lz @ ly),
+                0.5 * (lz @ lx + lx @ lz)]
+        out = np.zeros((len(self.iz_rec), 8))
+        for na, isp in enumerate(self.iz_rec):
+            qi = np.stack([
+                np.einsum("ab,ban->n", op, g0[na]).imag for op in qops
+            ])  # (6, NE)
+            q = np.array([
+                -simpson_m(em.edel, em.fermi, self.nv1, qi[c], self.e1, 0,
+                           em.ene) / np.pi
+                for c in range(6)
+            ])
+            out[na, :6] = q
+            out[na, 6] = q[0] - q[1]
+            out[na, 7] = 2.0 * q[2] - q[0] - q[1]
+            if workdir is not None:
+                sym = self.atoms[isp].element.symbol
+                cum = np.stack([
+                    simpson_f_cumulative(qi[c], em.ene, em.nv1)
+                    for c in range(6)
+                ]) / (-np.pi)
+                path = os.path.join(workdir, f"{sym}_orbquadene.out")
+                with open(path, "w") as fh:
+                    for ie in range(em.npts):
+                        row = cum[:, ie]
+                        fh.write(
+                            f"{em.ene[ie] - em.fermi:16.6e}"
+                            + "".join(f"{v:16.6e}" for v in row)
+                            + f"{row[0] - row[1]:16.6e}"
+                            + f"{2 * row[2] - row[0] - row[1]:16.6e}\n"
+                        )
+        return out

@@ -158,9 +158,16 @@ def vxc0sp(xcf: XCFunctional, a: float, b: float, rofi: np.ndarray,
            rho: np.ndarray, v: np.ndarray, nsp: int = 2, b_fsm: float = 0.0):
     """Add XC potential; return (rho0 (2,), rhoeps (2,), rhomu (2,)).
 
-    LDA path of VXC0SP :2588-2795 (GGA gradients to follow).  v is updated
-    in place.
+    VXC0SP :2588-2795.  v is updated in place.  For the gradient
+    functionals (txc 5/8/9) the radial derivatives are computed with
+    ``radgra`` and transformed exactly as the reference does: at the
+    first point the radius argument is the mesh spacing r3 - r2, deeper
+    points use rofi (nsp = 2) or the fixed spacing (nsp = 1), with
+    rhod = rho'/R and rhodd = (rho'' - rho')/R^2 and the spin slots
+    swapped to match the XCPOT argument order.
     """
+    from .xc_lda import radgra
+
     nr = rofi.shape[0]
     ob4pi = 1.0 / (4.0 * np.pi)
     rho0 = np.zeros(2)
@@ -174,9 +181,24 @@ def vxc0sp(xcf: XCFunctional, a: float, b: float, rofi: np.ndarray,
         trho[0, isp] = rho0[isp]
         trho[1:, isp] = rho[1:, isp] * ob4pi / rofi[1:] ** 2
 
+    gga = xcf.txc in (5, 8, 9)
+    if gga:
+        rhop = np.stack([radgra(a, b, rofi, trho[:, s])
+                         for s in range(nsp)], axis=1)
+        rhopp = np.stack([radgra(a, b, rofi, rhop[:, s])
+                          for s in range(nsp)], axis=1)
+
     if nsp == 1:
         rho1 = 0.5 * trho[:, 0]
-        v1, _, exc = xcf.xcpot(rho1, rho1, trho[:, 0])
+        if gga:
+            rr = np.full(nr, rofi[2] - rofi[1])
+            rhod = 0.5 * rhop[:, 0] / rr
+            rhodd = 0.5 * (rhopp[:, 0] - rhop[:, 0]) / rr**2
+            v1, _, exc = xcf.xcpot(rho1, rho1, trho[:, 0],
+                                   rhop=(rhod, rhod),
+                                   rhopp=(rhodd, rhodd), rr=rr)
+        else:
+            v1, _, exc = xcf.xcpot(rho1, rho1, trho[:, 0])
         v[:, 0] += v1
         wgt = simpson_weights(nr)
         drdi = a * (rofi + b)
@@ -186,7 +208,23 @@ def vxc0sp(xcf: XCFunctional, a: float, b: float, rofi: np.ndarray,
         # xcpot(rho_down, rho_up, total) -> (v_down, v_up)
         tot = trho[:, 0] + trho[:, 1]
         tot[0] = trho[0, 0] + trho[0, 1]
-        vxc2, vxc1, exc = xcf.xcpot(trho[:, 1], trho[:, 0], tot)
+        if gga:
+            # radius argument: mesh spacing at the first point, rofi
+            # deeper in (reference :2683-2752); slot 1 of the derivative
+            # pair carries spin 1's data to pair with the first XCPOT
+            # argument trho[:, 1]
+            rr = rofi.copy()
+            rr[0] = rofi[2] - rofi[1]
+            rhod1 = rhop[:, 1] / rr
+            rhod2 = rhop[:, 0] / rr
+            rhodd1 = (rhopp[:, 1] - rhop[:, 1]) / rr**2
+            rhodd2 = (rhopp[:, 0] - rhop[:, 0]) / rr**2
+            vxc2, vxc1, exc = xcf.xcpot(
+                trho[:, 1], trho[:, 0], tot,
+                rhop=(rhod1, rhod2), rhopp=(rhodd1, rhodd2), rr=rr
+            )
+        else:
+            vxc2, vxc1, exc = xcf.xcpot(trho[:, 1], trho[:, 0], tot)
         v[:, 0] += vxc1 + b_fsm
         v[:, 1] += vxc2 - b_fsm
         wgt = simpson_weights(nr)

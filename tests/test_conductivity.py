@@ -1,0 +1,118 @@
+"""Kubo-Bastin conductivity: device moment engine vs dense reference.
+
+Validates ops/kubo.kubo_moments (blocked lax.scan double-Chebyshev
+chains) against a brute-force dense-matrix evaluation of
+mu_nm = <r| T_m(H~) v_a T_n(H~) v_b |r> on a small synthetic bcc
+cluster, and smoke-tests the full ConductivityCalculation output files.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from rslmtoasa_tpu.models.conductivity import (
+    ConductivityCalculation,
+    build_velocity_operators,
+    spin_current,
+)
+from rslmtoasa_tpu.models.presets import build_synthetic_bcc
+from rslmtoasa_tpu.ops.kubo import kubo_moments
+
+
+def _dense_from_ell(blocks, iz, cols, kk):
+    n = kk * 18
+    H = np.zeros((n, n), dtype=np.complex128)
+    for i in range(kk):
+        for m in range(cols.shape[1]):
+            j = int(cols[i, m])
+            if j >= kk:
+                continue
+            H[i * 18 : (i + 1) * 18, j * 18 : (j + 1) * 18] += \
+                blocks[int(iz[i]), m]
+    return H
+
+
+def test_kubo_moments_match_dense():
+    sys_ = build_synthetic_bcc(rc=9.0, lld=4, nsp=2)
+    cl = sys_.cluster
+    hb = sys_.ham
+    kk = cl.kk
+    v_a, v_b = build_velocity_operators(
+        sys_, np.array([0.0, 1.0, 0.0]), np.array([1.0, 0.0, 0.0])
+    )
+    iz = np.asarray(hb.iz)
+    cols = np.asarray(hb.cols)
+    lsh = (hb.lsham if hb.lsham is not None
+           else np.zeros((hb.ee.shape[0], 18, 18), np.complex128))
+    a, b = 1.9, -0.2
+    nmom = 6
+
+    mu_dev = np.asarray(kubo_moments(
+        jnp.asarray(hb.ee), jnp.asarray(lsh), jnp.asarray(iz),
+        jnp.asarray(cols), jnp.asarray(v_a), jnp.asarray(v_b),
+        jnp.asarray(_start(kk)), n_moments=nmom, block_size=4,
+        a=a, b=b,
+    ))
+
+    # dense reference
+    H = _dense_from_ell(hb.ee, iz, cols, kk)
+    for i in range(kk):
+        H[i * 18 : (i + 1) * 18, i * 18 : (i + 1) * 18] += lsh[int(iz[i])]
+    Va = _dense_from_ell(v_a, iz, cols, kk)
+    Vb = _dense_from_ell(v_b, iz, cols, kk)
+    Ht = (H - b * np.eye(kk * 18)) / a
+    r = np.zeros((kk * 18, 18), np.complex128)
+    r[:18] = np.eye(18)
+    # left vectors T_m|r>, right vectors T_n Vb|r>
+    lefts, rights = [], []
+    w0, w1 = None, r
+    v0, v1 = None, Vb @ r
+    for m in range(nmom):
+        if m == 1:
+            w0, w1 = w1, Ht @ w1
+            v0, v1 = v1, Ht @ v1
+        elif m > 1:
+            w0, w1 = w1, 2.0 * (Ht @ w1) - w0
+            v0, v1 = v1, 2.0 * (Ht @ v1) - v0
+        lefts.append(w1.copy())
+        rights.append(Va @ v1)
+    mu_ref = np.zeros((nmom, nmom, 18, 18), np.complex128)
+    for n in range(nmom):
+        for m in range(nmom):
+            mu_ref[n, m] = lefts[m].conj().T @ rights[n]
+    np.testing.assert_allclose(mu_dev, mu_ref, atol=1e-10)
+
+
+def _start(kk):
+    psi = np.zeros((kk, 18, 18), np.complex128)
+    psi[0] = np.eye(18)
+    return psi
+
+
+def test_spin_current_hermitian_blocks():
+    sys_ = build_synthetic_bcc(rc=9.0, lld=4, nsp=2)
+    v_a, _ = build_velocity_operators(
+        sys_, np.array([0.0, 0.0, 1.0]), np.array([1.0, 0.0, 0.0])
+    )
+    js = spin_current(v_a, "z")
+    # {S_z, v}/2 with S_z block-diagonal halves: spin-diagonal blocks of
+    # v survive with +-1/2 weights, spin-off-diagonal blocks vanish
+    np.testing.assert_allclose(js[:, :, :9, :9], 0.5 * v_a[:, :, :9, :9])
+    np.testing.assert_allclose(js[:, :, 9:, 9:], -0.5 * v_a[:, :, 9:, 9:])
+    np.testing.assert_allclose(js[:, :, :9, 9:], 0.0, atol=1e-15)
+
+
+def test_conductivity_pipeline_outputs(tmp_path):
+    sys_ = build_synthetic_bcc(rc=9.0, lld=4, nsp=2)
+    sys_.cfg.control.cond_ll = 8
+    sys_.cfg.energy.channels_ldos = 200
+    calc = ConductivityCalculation(sys_, str(tmp_path))
+    mu = calc.run()
+    assert mu.shape[2] == 8 and np.all(np.isfinite(mu))
+    out = os.path.join(str(tmp_path), "cond_total.out")
+    assert os.path.exists(out)
+    dat = np.loadtxt(out)
+    assert dat.shape[1] == 3 and np.all(np.isfinite(dat))
+    # cumulative integral: flat before the band, monotone build-up region
+    assert abs(dat[0, 1]) <= abs(dat[:, 1]).max()

@@ -27,7 +27,7 @@ def exchange_run(reference_dir):
     sys_ = BulkSystem.build(cfg, wd)
     xc = ExchangeCalculation(sys_, cfg.lattice.ijpair, wd)
     xc.run()
-    return wd
+    return wd, xc
 
 
 def test_jij_values(reference_dir, exchange_run):
@@ -36,7 +36,7 @@ def test_jij_values(reference_dir, exchange_run):
          / "tests/postproc/references/Example_exchange_bccFe/ref.json"
          ).read_text()
     )
-    lines = open(os.path.join(exchange_run, "jij.out")).readlines()
+    lines = open(os.path.join(exchange_run[0], "jij.out")).readlines()
     for row, cols in ref["text"]["jij.out"].items():
         parts = lines[int(row) - 1].split()
         for col, val in cols.items():
@@ -50,9 +50,79 @@ def test_dij_values(reference_dir, exchange_run):
          / "tests/postproc/references/Example_exchange_bccFe/ref.json"
          ).read_text()
     )
-    lines = open(os.path.join(exchange_run, "dij.out")).readlines()
+    lines = open(os.path.join(exchange_run[0], "dij.out")).readlines()
     for row, cols in ref["text"]["dij.out"].items():
         parts = lines[int(row) - 1].split()
         for col, val in cols.items():
             mine = float(parts[int(col) - 1])
             assert abs(mine - val) < 1e-4, (row, col, mine, val)
+
+
+def test_twoindex_cross_terms_vanish(exchange_run):
+    """The m -> -m density/current split must kill the cross terms:
+    tr[d G^{c,0}_ij d G^{c,1}_ji] ~ 0 (that is the symmetry the
+    decomposition exploits; a wrong reflection table breaks this)."""
+    wd, xc = exchange_run
+    from rslmtoasa_tpu.physics.energy_mesh import EnergyMesh
+
+    emesh = EnergyMesh.build(xc.cfg.energy)
+    cl = xc.sys.cluster
+    p = 1  # a true i != j pair
+    i, j = xc.pairs[p]
+    it, jt = int(cl.iz[i]) - 1, int(cl.iz[j]) - 1
+    q = np.arange(1, 10)
+    l1 = np.sqrt(q - 0.9).astype(int)
+    refl = 2 * (l1 * (l1 + 1) + 1) - q - 1
+    sign = (-1.0) ** (np.add.outer(np.arange(9), np.arange(9)))
+
+    def reflect(g):
+        return sign[:, :, None] * g[refl][:, refl].transpose(1, 0, 2)
+
+    gi = xc.comps_i["n"][p]
+    gj = xc.comps_j["n"][p]
+    g0ij = 0.5 * (gi + reflect(gj))
+    g1ij = 0.5 * (gi - reflect(gj))
+    g0ji = 0.5 * (gj + reflect(gi))
+    g1ji = 0.5 * (gj - reflect(gi))
+    di = np.stack([np.diag(xc.sys.atoms[it].potential.d_matrix(e))
+                   for e in emesh.ene])
+    dj = np.stack([np.diag(xc.sys.atoms[jt].potential.d_matrix(e))
+                   for e in emesh.ene])
+    cross = np.matmul(di[:, :, None] * g0ij.transpose(2, 0, 1),
+                      dj[:, :, None] * g1ji.transpose(2, 0, 1))
+    keep = np.matmul(di[:, :, None] * g0ij.transpose(2, 0, 1),
+                     dj[:, :, None] * g0ji.transpose(2, 0, 1))
+    tc = np.abs(np.trace(cross, axis1=1, axis2=2))
+    tk = np.abs(np.trace(keep, axis1=1, axis2=2))
+    assert tc.max() < 1e-8 * max(tk.max(), 1.0)
+
+
+def test_twoindex_outputs(exchange_run):
+    wd, xc = exchange_run
+    xc.calculate_exchange_twoindex()
+    for name in ("jijso", "jijfo", "jijparts", "dijso", "aijso",
+                 "aijparts"):
+        dat = np.loadtxt(os.path.join(wd, name + ".out"))
+        assert np.all(np.isfinite(dat))
+    so = np.loadtxt(os.path.join(wd, "jijso.out"))
+    parts = np.loadtxt(os.path.join(wd, "jijparts.out"))
+    # jijso = jcd - jsd + jcc - jsc row by row
+    recon = parts[:, 5] - parts[:, 6] + parts[:, 7] - parts[:, 8]
+    np.testing.assert_allclose(so[:, 5], recon, atol=1e-6)
+
+
+def test_gilbert_damping_tensor(exchange_run):
+    wd, xc = exchange_run
+    alpha = xc.calculate_gilbert_damping()
+    assert np.all(np.isfinite(alpha))
+    dat = np.loadtxt(os.path.join(wd, "damping-energy.out"), skiprows=1)
+    assert np.all(np.isfinite(dat))
+    # collinear z magnetisation: in-plane components dominate and match
+    assert abs(alpha[0] - alpha[4]) < 0.5 * max(abs(alpha[0]), 1e-12)
+
+
+def test_moment_of_inertia_outputs(exchange_run):
+    wd, xc = exchange_run
+    inertia = xc.calculate_moment_of_inertia()
+    assert np.all(np.isfinite(inertia))
+    assert os.path.exists(os.path.join(wd, "example-real.out"))

@@ -1,0 +1,76 @@
+"""Gradient XC functionals (txc 5 PBE-LDA, 8 PBE-GGA, 9 LAG).
+
+No committed reference outputs exist for GGA runs, so validation is
+internal: the PBE LDA limit must reproduce the published PW92
+correlation energies, the full atomic-sphere SCF must converge for every
+gradient functional, and PBE-LDA must stay close to von Barth-Hedin LDA.
+"""
+
+import numpy as np
+import pytest
+
+from rslmtoasa_tpu.atoms.potential import SymbolicAtom
+from rslmtoasa_tpu.physics.atomsphere import atomsc
+from rslmtoasa_tpu.physics.xc_lda import XCFunctional, radgra
+
+
+def test_pw92_correlation_values():
+    # PW92 value (Ha/electron): rs=2 zeta=0 -> ec = -0.044757
+    xc = XCFunctional(txc=5)
+    rho = 3.0 / (4.0 * np.pi * 2.0**3)
+    _, _, exc = xc.xcpot(rho / 2, rho / 2, rho)
+    ex = -0.75 * (3.0 / np.pi) ** (1.0 / 3.0) * rho ** (1.0 / 3.0)
+    ec = exc / 2.0 - ex  # Ry -> Ha, minus LDA exchange
+    assert abs(ec - (-0.0447565)) < 5e-5
+
+
+def test_pw92_potential_is_energy_derivative():
+    # vxc = d(rho exc)/drho: finite-difference consistency of the
+    # CORPBE/EXCHPBE derivative code in the unpolarized LDA limit
+    xc = XCFunctional(txc=5)
+
+    def e_density(rho):
+        _, _, exc = xc.xcpot(rho / 2, rho / 2, rho)
+        return rho * exc
+
+    rho = 0.02
+    h = 1e-7
+    v_fd = (e_density(rho + h) - e_density(rho - h)) / (2 * h)
+    v1, v2, _ = xc.xcpot(rho / 2, rho / 2, rho)
+    assert abs(v1 - v_fd) < 1e-6
+    assert abs(v1 - v2) < 1e-14
+
+
+def test_radgra_exact_for_polynomial():
+    a, b = 0.02, 0.01
+    i = np.arange(400)
+    rofi = b * (np.exp(a * i) - 1.0)
+    f = rofi**3 - 2.0 * rofi
+    g = radgra(a, b, rofi, f)
+    expect = 3.0 * rofi**2 - 2.0
+    # 5-point formula on the exponential mesh: effective step a(r+b)
+    # grows with r, so compare relative to the derivative magnitude
+    rel = np.abs(g[5:-5] - expect[5:-5]) / np.maximum(
+        np.abs(expect[5:-5]), 1.0
+    )
+    assert rel.max() < 1e-5
+
+
+@pytest.mark.parametrize("txc", [5, 8, 9])
+def test_atomsc_converges_gga(reference_dir, txc):
+    at = SymbolicAtom.from_file(
+        "Fe", str(reference_dir / "tests/regression/bccFe_lanczos")
+    )
+    pot = at.potential
+    res = atomsc(z=at.element.atomic_number, lmax=pot.lmax, a=0.02,
+                 ws_r=pot.ws_r, pl=pot.pl, ql=pot.ql,
+                 ifcore=at.element.f_core, txc=txc)
+    assert np.isfinite(res.etot)
+    # all functionals agree on the gross scale of the Fe total energy
+    assert -2700.0 < res.etot < -2500.0
+    if txc == 5:
+        # PBE's LDA limit is PW92 - close to the BH default
+        res_lda = atomsc(z=at.element.atomic_number, lmax=pot.lmax,
+                         a=0.02, ws_r=pot.ws_r, pl=pot.pl, ql=pot.ql,
+                         ifcore=at.element.f_core, txc=1)
+        assert abs(res.etot - res_lda.etot) < 5.0
