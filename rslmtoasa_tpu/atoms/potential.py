@@ -97,6 +97,8 @@ class Potential:
         self.mom0 = np.zeros(3)
         self.mom1 = np.zeros(3)
         self.mtot = 0.0
+        # hyperfine contact fields [H_core, H_val] in Tesla
+        self.hyper_field = np.zeros(2)
         # SOC strengths
         self.xi_p = np.zeros(2)
         self.xi_d = np.zeros(2)

@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 import sys
 
+import numpy as np
+
 from .config import JobConfig
 from .utils.logger import g_logger
 from .utils.namelist import read_namelists
@@ -86,8 +88,21 @@ def main(argv=None) -> int:
     if post in ("exchange", "exchange_p2rs"):
         from .models.exchange import ExchangeCalculation
 
-        xc = ExchangeCalculation(sys_, cfg.lattice.ijpair, workdir)
-        xc.run()
+        if cfg.lattice.njijk > 0:
+            # spin-lattice trios: run pair recursion over the 3 pairs of
+            # each trio, then the Jijk tensor (calculation.f90 :949)
+            trios = cfg.lattice.ijktrio
+            pairs = []
+            for t in trios:
+                i, j, k = int(t[0]), int(t[1]), int(t[2])
+                pairs += [(i, j), (i, k), (j, k)]
+            xc = ExchangeCalculation(sys_, np.asarray(pairs), workdir)
+            xc.run()
+            xc.calculate_jijk(trios)
+        else:
+            xc = ExchangeCalculation(sys_, cfg.lattice.ijpair, workdir)
+            xc.run()
+            xc.calculate_exchange_twoindex()
     elif post in ("conductivity", "conductivity_p2rs"):
         from .models.conductivity import ConductivityCalculation
 

@@ -125,6 +125,7 @@ class LatticeCfg:
     njij: int = 0
     ijpair: Optional[np.ndarray] = None
     njijk: int = 0
+    ijktrio: Optional[np.ndarray] = None  # (njijk, 6): i j k dx dy dz
     # explicit basis for crystal_sym='file'
     a: Optional[np.ndarray] = None  # (3,3) columns are primitive vectors
     crd: Optional[np.ndarray] = None  # (3, nbas)
@@ -152,6 +153,10 @@ class LatticeCfg:
             ij = np.zeros((c.njij, 2), dtype=np.int64)
             g.fill_array("ijpair", ij)
             c.ijpair = ij
+        if g.has("njijk") and c.njijk > 0:
+            tr = np.zeros((c.njijk, 6))
+            g.fill_array("ijktrio", tr)
+            c.ijktrio = tr
         if g.has("nclu") and c.nclu > 0:
             inc = np.zeros((c.nclu, 3))
             g.fill_array("inclu", inc)

@@ -204,6 +204,37 @@ class BulkSystem:
             (ntype, 18, 18), dtype=np.complex128
         )
         blocks, blocks_o, iz_rows, iz_sp = self._spmv_tables()
+        if self.cfg.hamiltonian.local_axis:
+            # rotate the full Hamiltonian to each rec atom's moment frame
+            # before its recursion (recursion.f90 recur_b :1830-1833 +
+            # hamiltonian rotate_to_local_axis :2442-2462); per-atom
+            # batching is lost, matching the reference's serial loop
+            from ..physics.harmonics import rotmag_loc
+
+            a_parts, b_parts = [], []
+            for n, ja in enumerate(rec_atoms):
+                mom = self.atoms[int(cl.iz[ja]) - 1].potential.mom
+                rb = rotmag_loc(blocks, mom)
+                rl = rotmag_loc(lsham, mom)
+                psi0 = block_start_vectors(cl.kk, [ja])
+                a_b, b2_b = block_lanczos(
+                    jnp.asarray(rb),
+                    jnp.asarray(rl),
+                    jnp.asarray(iz_rows),
+                    jnp.asarray(hb.cols),
+                    jnp.asarray(psi0),
+                    lld,
+                    hoh=hoh,
+                    hso=(jnp.asarray(rotmag_loc(blocks_o, mom))
+                         if hoh else None),
+                    enim=(jnp.asarray(rotmag_loc(hb.enim, mom))
+                          if hoh else None),
+                    iz_onsite=jnp.asarray(iz_sp),
+                )
+                a_parts.append(np.asarray(a_b))
+                b_parts.append(np.asarray(b2_b))
+            return (np.concatenate(a_parts, axis=1),
+                    np.concatenate(b_parts, axis=1))
         psi0 = block_start_vectors(cl.kk, rec_atoms)
         with g_timer.section("block-recursion"):
             a_b, b2_b = block_lanczos(

@@ -104,6 +104,8 @@ class ExchangeCalculation:
             )
         a_b = np.asarray(a_b)
         b_b = zsqr(np.asarray(b2_b))
+        self.a_b = a_b
+        self.b_b = b_b
 
         with g_timer.section("intersite-gf"):
             gi, gj = self._intersite_gf(a_b, b_b, emesh)
@@ -234,6 +236,237 @@ class ExchangeCalculation:
                 f40.write(head
                           + "".join(f"{x:12.6f}" for x in r["aij"].T.ravel())
                           + f" {r['dist']:12.6f}\n")
+
+    # ------------------------------------------------------------------
+    def calculate_jijk(self, trios):
+        """Spin-lattice three-site coupling Jijk (``exchange.f90
+        calculate_jijk`` :338-612, real-space torque-correlation of
+        Sci. Rep. 7, 931 (2017)).
+
+        trios: (njijk, 6) rows [i, j, k, dx, dy, dz] (1-based atoms,
+        displacement direction of atom k).  Requires construction with
+        pairs [(i,j), (i,k), (j,k)] per trio (3*njijk pairs) and run().
+        Returns the (njijk, 9) tensor in meV/a.u.; writes jijk.out
+        (the reference only prints to stdout).
+        """
+        import os
+
+        cl = self.sys.cluster
+        emesh = EnergyMesh.build(self.cfg.energy)
+        ene = emesh.ene
+        ne = len(ene)
+        lmax = 2
+        K = (lmax + 1) ** 2
+        wav = cl.wav  # Angstrom (mRy/Angstrom scaling, :437)
+        # component angle table (theta, theta', phi, phi') for xx..zz
+        hp = 0.5 * np.pi
+        ang = np.array([
+            [hp, hp, 0, 0], [hp, hp, 0, hp], [hp, 0, 0, 0],
+            [hp, hp, hp, 0], [hp, hp, hp, hp], [hp, 0, hp, 0],
+            [0, hp, 0, 0], [0, hp, 0, hp], [0, 0, 0, 0],
+        ])
+        out_rows = []
+        results = np.zeros((len(trios), 9))
+        for nt, trio in enumerate(trios):
+            i, j, k = (int(trio[0]) - 1, int(trio[1]) - 1,
+                       int(trio[2]) - 1)
+            disp = np.asarray(trio[3:6], float)
+            u = disp / np.linalg.norm(disp)
+            pots = {a: self.sys.atoms[int(cl.iz[a]) - 1].potential
+                    for a in (i, j, k)}
+            scr = {a: pots[a].qpar for a in (i, j, k)}
+            zero_scr = np.zeros((lmax + 1, 2))
+            pm = {a: p_matrix(pots[a], lmax, ene) for a in (i, j, k)}
+            pm0 = {a: transform_pmatrix(pm[a], scr[a], zero_scr, lmax)
+                   for a in (i, j, k)}
+            umat_d = disp_matrix(lmax, wav, u)  # (2K, 2K)
+            # U_k(E) = D P0_k + P0_k D^T per energy (udisp_matrix)
+            umk = (umat_d[None] * pm0[k][:, None, :]
+                   + pm0[k][:, :, None] * umat_d.T[None])
+
+            def aux(g, a, b):
+                """delta_a G_ab delta_b, then orthogonal->canonical
+                (auxiliary_gij + transform_auxiliary_gij)."""
+                da = np.concatenate([np.repeat(pots[a].dele[:, s],
+                                               [1, 3, 5]) for s in (0, 1)])
+                db = np.concatenate([np.repeat(pots[b].dele[:, s],
+                                               [1, 3, 5]) for s in (0, 1)])
+                gax = g.transpose(2, 0, 1) * da[None, :, None] \
+                    * db[None, None, :]
+                r1 = pm[a] / pm0[a]  # (NE, 2K) diagonal rescale
+                r2 = pm[b] / pm0[b]
+                out = r1[:, :, None] * gax * r2[:, None, :]
+                if a == b:
+                    scr_d = np.concatenate([
+                        np.repeat(-scr[a][:, s], [1, 3, 5])
+                        for s in (0, 1)
+                    ])  # (beta - alpha) with beta = 0
+                    diag = scr_d[None, :] * (pm[a] / pm0[a])
+                    out[:, np.arange(2 * K), np.arange(2 * K)] += diag
+                return out
+
+            base = 3 * nt
+            g_ij = aux(self.gij_full[base + 0], i, j)
+            g_ji = aux(self.gji_full[base + 0], j, i)
+            g_ik = aux(self.gij_full[base + 1], i, k)
+            g_ki = aux(self.gji_full[base + 1], k, i)
+            g_jk = aux(self.gij_full[base + 2], j, k)
+            g_kj = aux(self.gji_full[base + 2], k, j)
+            dp_i = (pm0[i][:, :K] - pm0[i][:, K:])  # (NE, K) diagonal
+            dp_j = (pm0[j][:, :K] - pm0[j][:, K:])
+            uu = slice(0, K)
+            dd = slice(K, 2 * K)
+            t1 = np.matmul(umk[:, dd, dd], g_ki[:, dd, dd])
+            t2 = np.matmul(umk[:, uu, uu], g_ki[:, uu, uu])
+            t3 = dp_i[:, :, None] * g_ij[:, uu, uu]
+            t4 = dp_j[:, :, None] * g_jk[:, uu, uu]
+            t5 = np.matmul(umk[:, uu, uu], g_kj[:, uu, uu])
+            t6 = np.matmul(umk[:, dd, dd], g_kj[:, dd, dd])
+            t7 = dp_j[:, :, None] * g_ji[:, uu, uu]
+            t8 = dp_i[:, :, None] * g_ij[:, dd, dd]
+            t9 = dp_j[:, :, None] * g_jk[:, dd, dd]
+            t10 = dp_j[:, :, None] * g_ji[:, dd, dd]
+            m342 = np.matmul(t3, np.matmul(t4, t2))
+            m842 = np.matmul(t8, np.matmul(t4, t2))
+            m391 = np.matmul(t3, np.matmul(t9, t1))
+            m891 = np.matmul(t8, np.matmul(t9, t1))
+            m3510 = np.matmul(t3, np.matmul(t5, t10))
+            m8610 = np.matmul(t8, np.matmul(t6, t10))
+            m357 = np.matmul(t3, np.matmul(t5, t7))
+            m867 = np.matmul(t8, np.matmul(t6, t7))
+            for p in range(9):
+                th, thp, ph, php = ang[p]
+                cc = np.cos(th) * np.cos(thp)
+                ssp = np.sin(th) * np.sin(thp) * np.exp(
+                    1j * (php - ph))
+                ssm = np.sin(th) * np.sin(thp) * np.exp(
+                    1j * (ph - php))
+                tot = (cc * m342 + ssp * m842 + ssm * m391 + cc * m891
+                       + ssm * m3510 + cc * m8610 + cc * m357
+                       + ssp * m867)
+                y = 0.5 * np.trace(tot, axis1=1, axis2=2).imag
+                results[nt, p] = simpson_f_fermi(
+                    y, ene, emesh.fermi, emesh.nv1
+                )
+            results[nt] *= (1.0e3 / 8.0 / np.pi) \
+                * (13.605693122994 / 1.8897261246)
+            out_rows.append(
+                f"{i + 1:6d}{j + 1:6d}{k + 1:6d}  "
+                + "".join(f"{v:10.6f}" for v in u) + "  "
+                + "".join(f"{v:14.9f}" for v in results[nt]) + "\n"
+            )
+            g_logger.info(
+                f"Jijk trio ({i+1},{j+1},{k+1}): "
+                + " ".join(f"{v:.6f}" for v in results[nt][:3])
+            )
+        with open(os.path.join(self.workdir, "jijk.out"), "w") as fh:
+            fh.writelines(out_rows)
+        return results
+
+    # ------------------------------------------------------------------
+    def run_gauss_legendre(self):
+        """Fermi-sea exchange via imaginary-axis Gauss-Legendre
+        quadrature (``calculate_exchange_gauss_legendre`` :1756-1900 and
+        ``green.f90 calculate_intersite_gf_eta`` :471-540).
+
+        The intersite GF is evaluated at z = E_F + i eta for 64 GL nodes
+        eta = (1-x)/x on (0, inf); Jij = -sum_n w_n/x_n^2 Re tr[d G d G]
+        with d = Re(ee_onsite_up - ee_onsite_dn) (the onsite exchange
+        splitting, not the energy-dependent d_matrix).  Writes jij.out /
+        dij.out / aij.out in the GL layout.  Requires run() (chains).
+        """
+        import os
+
+        cl = self.sys.cluster
+        hb = self.sys.ham
+        cfg = self.cfg
+        emesh = EnergyMesh.build(cfg.energy)
+        # fermi_point: last mesh index with ene <= fermi + 1e-6
+        fermi_point = int(np.max(np.nonzero(
+            emesh.ene - emesh.fermi <= 1.0e-6
+        )[0]))
+        ef = np.array([emesh.ene[fermi_point]])
+        t, w = np.polynomial.legendre.leggauss(64)
+        x = 0.5 * (t + 1.0)
+        w = 0.5 * w
+
+        rows_j, rows_d, rows_a = [], [], []
+        for p, (i, j) in enumerate(self.pairs):
+            sl = slice(4 * p, 4 * p + 4)
+            a4 = self.a_b[:, sl]
+            b4 = self.b_b[:, sl]
+            a_inf, b_inf = get_terminf(a4, b4)
+            gi = {k: np.zeros((64, 9, 9), np.complex128) for k in "nxyz"}
+            gj = {k: np.zeros((64, 9, 9), np.complex128) for k in "nxyz"}
+            for nv in range(64):
+                eta = 1j * (1.0 - x[nv]) / x[nv]
+                g4 = np.stack([
+                    bgreen(a4[:, n], b4[:, n], a_inf[n], b_inf[n], ef,
+                           sym_term=cfg.control.sym_term, eta=eta)[:, :, 0]
+                    for n in range(4)
+                ])  # (4, 18, 18)
+                if i == j:
+                    gij = gji = g4[0]
+                else:
+                    diff = (1.0 / 1j) * (g4[2] - g4[3])
+                    gij = 0.5 * (g4[0] - g4[1] + diff)
+                    gji = 0.5 * (g4[0] - g4[1] - diff)
+                for (comp, g) in ((gi, gij), (gj, gji)):
+                    uu, dd = g[:9, :9], g[9:, 9:]
+                    ud, du = g[:9, 9:], g[9:, :9]
+                    comp["n"][nv] = 0.5 * (uu + dd)
+                    comp["z"][nv] = 0.5 * (uu - dd)
+                    comp["y"][nv] = 0.5 * (1j * ud - 1j * du)
+                    comp["x"][nv] = 0.5 * (ud + du)
+            it = int(cl.iz[i]) - 1
+            jt = int(cl.iz[j]) - 1
+            d1 = np.real(hb.ee[it, 0][:9, :9] - hb.ee[it, 0][9:, 9:])
+            d2 = np.real(hb.ee[jt, 0][:9, :9] - hb.ee[jt, 0][9:, 9:])
+            quad = (w / x**2)[:, None, None]
+
+            def dgdg(da, ga, db, gb):
+                return np.matmul(da[None] @ ga, db[None] @ gb)
+
+            jmat = dgdg(d1, gi["n"], d2, gj["n"])
+            for k in "xyz":
+                jmat = jmat - dgdg(d1, gi[k], d2, gj[k])
+            jij = -np.sum(np.trace(quad * jmat, axis1=1, axis2=2).real)
+            jij *= 1.0e3 / 4.0 / np.pi
+            dmi = np.zeros(3)
+            for kidx, k in enumerate("xyz"):
+                dm = (dgdg(d1, gi["n"], d2, gj[k])
+                      - dgdg(d2, gj["n"], d1, gi[k]))
+                dmi[kidx] = np.sum(
+                    np.trace(quad * dm, axis1=1, axis2=2).imag
+                )
+            dmi *= 1.0e3 / 4.0 / np.pi
+            aij = np.zeros((3, 3))
+            for kidx, k in enumerate("xyz"):
+                for lidx, l in enumerate("xyz"):
+                    am = 0.5 * (dgdg(d1, gi[k], d2, gj[l])
+                                + dgdg(d2, gj[k], d1, gi[l]))
+                    aij[kidx, lidx] = -np.sum(
+                        np.trace(quad * am, axis1=1, axis2=2).real
+                    )
+            aij *= 1.0e3 / 4.0 / np.pi
+
+            rij = cl.cr[j] - cl.cr[i]
+            dist = float(np.linalg.norm(rij))
+            head = (f"{it + 1:8d}{jt + 1:8d}  "
+                    + "".join(f"{v:12.6f}" for v in rij) + "  ")
+            rows_j.append(head + f"{jij:12.6f} {dist:12.6f}\n")
+            rows_d.append(head + "".join(f"{v:12.6f}" for v in dmi)
+                          + f" {dist:12.6f}\n")
+            rows_a.append(head + "".join(f"{v:12.6f}"
+                                         for v in aij.T.ravel())
+                          + f" {dist:12.6f}\n")
+            g_logger.info(f"GL Jij pair ({i+1},{j+1}): {jij:.6f} mRy")
+        for name, rows in (("jij", rows_j), ("dij", rows_d),
+                           ("aij", rows_a)):
+            with open(os.path.join(self.workdir, name + ".out"),
+                      "w") as fh:
+                fh.writelines(rows)
+        return rows_j
 
     # ------------------------------------------------------------------
     def calculate_exchange_twoindex(self):
@@ -499,6 +732,127 @@ class ExchangeCalculation:
         fre.close()
         fim.close()
         return total
+
+
+def _real_sph(l, m, theta, phi):
+    """Real spherical harmonics, standard convention (math.f90
+    ``real_spharm`` :516-615): S_{l,m>0} = sqrt2 (-1)^m Re Y_l^m,
+    S_{l,0} = Y_l^0, S_{l,m<0} = sqrt2 (-1)^m Im Y_l^|m|."""
+    try:
+        from scipy.special import sph_harm_y
+        y = sph_harm_y(l, abs(m), theta, phi)
+    except ImportError:  # older scipy
+        from scipy.special import sph_harm
+        y = sph_harm(abs(m), l, phi, theta)
+    if m > 0:
+        return np.sqrt(2.0) * (-1.0) ** m * y.real
+    if m < 0:
+        return np.sqrt(2.0) * (-1.0) ** m * y.imag
+    return y.real
+
+
+_GAUNT_CACHE = {}
+
+
+def real_gaunt(l1, l2, l3, m1, m2, m3):
+    """Real Gaunt coefficient int S_{l1 m1} S_{l2 m2} S_{l3 m3} dOmega
+    by exact spherical quadrature (replaces the reference's
+    ``realgaunt`` case analysis, math.f90 :330-484; both use the same
+    standard real-harmonic convention so the coefficients agree)."""
+    key = (l1, l2, l3, m1, m2, m3)
+    if key in _GAUNT_CACHE:
+        return _GAUNT_CACHE[key]
+    xs, ws = np.polynomial.legendre.leggauss(24)
+    theta = np.arccos(xs)[:, None]
+    nphi = 64
+    phi = (2.0 * np.pi * np.arange(nphi) / nphi)[None, :]
+    f = (_real_sph(l1, m1, theta, phi) * _real_sph(l2, m2, theta, phi)
+         * _real_sph(l3, m3, theta, phi))
+    val = float(np.sum(ws[:, None] * f) * 2.0 * np.pi / nphi)
+    _GAUNT_CACHE[key] = val
+    return val
+
+
+def _orb_order(l_max):
+    """(l, m)-slot -> cubic orbital index table (``disp_matrix``
+    :order block: p ordered (3,4,2), d ordered (5,6,9,7,8))."""
+    order = np.zeros((l_max + 1, 2 * l_max + 1), dtype=int)
+    for l in range(l_max + 1):
+        if l == 0:
+            order[0, 0] = 1
+        elif l == 1:
+            order[1, :3] = [3, 4, 2]
+        elif l == 2:
+            order[2, :5] = [5, 6, 9, 7, 8]
+        else:
+            for j in range(-l, l + 1):
+                order[l, l + j] = l * l + l + j + 1
+    return order
+
+
+def disp_matrix(lmax, ws_radius, disp_vec):
+    """Displacement (Laplace-expansion) matrix of the structure-constant
+    gradient (``symbolic_atom.f90 disp_matrix``).  Returns (2K, 2K)
+    with K = (lmax+1)^2, spin-block-diagonal."""
+    from scipy.special import factorial2
+
+    k = (lmax + 1) ** 2
+    nrm = np.linalg.norm(disp_vec)
+    u = np.zeros(3) if nrm == 0 else np.asarray(disp_vec, float) / nrm
+    # direction angles for real_spharm(unit_disp, 1, m)
+    theta = np.arccos(np.clip(u[2], -1, 1)) if nrm else 0.0
+    phi = np.arctan2(u[1], u[0]) if nrm else 0.0
+    order = _orb_order(lmax)
+    mat_b = np.zeros((k, k), dtype=np.complex128)
+    for li in range(lmax + 1):  # l'
+        for lj in range(lmax + 1):  # l
+            if li > lj:
+                continue
+            fac = (factorial2(max(2 * lj - 1, 0))
+                   / factorial2(max(2 * li - 1, 0)))
+            for mi in range(-li, li + 1):
+                for mj in range(-lj, lj + 1):
+                    acc = 0.0
+                    for mm in (-1, 0, 1):
+                        acc += (real_gaunt(lj, li, 1, mj, mi, mm)
+                                * float(_real_sph(1, mm, theta, phi)))
+                    mat_b[order[li, mi + li] - 1,
+                          order[lj, mj + lj] - 1] += fac * acc
+    mat_b *= -4.0 * np.pi / (3.0 * ws_radius)
+    out = np.zeros((2 * k, 2 * k), dtype=np.complex128)
+    out[:k, :k] = mat_b
+    out[k:, k:] = mat_b
+    return out
+
+
+def p_matrix(pot, lmax, ene):
+    """Diagonal LMTO potential function P(E) = (E - C - vmad)/Delta^2
+    per (l, m, s) (``symbolic_atom.f90 p_matrix``).  (NE, 2K) diag."""
+    k = (lmax + 1) ** 2
+    ne = len(ene)
+    p = np.zeros((ne, 2 * k), dtype=np.complex128)
+    for s in range(2):
+        for l in range(lmax + 1):
+            c = pot.c[l, s] + pot.vmad
+            d2 = pot.dele[l, s] ** 2
+            for m in range(2 * l + 1):
+                mls = l * l + m + k * s
+                p[:, mls] = (ene - c) / d2
+    return p
+
+
+def transform_pmatrix(p, scr_in, scr_out, lmax):
+    """P^beta = P^alpha / (1 + (alpha - beta) P^alpha) per diagonal
+    entry (``transform_pmatrix``); scr arrays (lmax+1, 2)."""
+    k = (lmax + 1) ** 2
+    out = np.zeros_like(p)
+    for s in range(2):
+        for l in range(lmax + 1):
+            d = scr_in[l, s] - scr_out[l, s]
+            for m in range(2 * l + 1):
+                mls = l * l + m + k * s
+                out[:, mls] = p[:, mls] / (1.0 + d * p[:, mls])
+    return out
 
 
 def torque_operator_collinear(atoms) -> np.ndarray:

@@ -37,6 +37,40 @@ class SCFState:
     delta: float = 0.0
 
 
+def update_fermi_in_input(fermi: float, filename: str):
+    """Rewrite the ``fermi =`` line of the &energy group in the input
+    file, preserving trailing comments (``self.f90
+    update_fermi_in_input`` :1042-1123).  No-op when the file is absent
+    or not writable (e.g. read-only reference inputs)."""
+    if not filename or not os.path.exists(filename) \
+            or not os.access(filename, os.W_OK):
+        return
+    with open(filename) as fh:
+        lines = fh.readlines()
+    in_energy = False
+    done = False
+    out = []
+    for line in lines:
+        stripped = line.strip()
+        if stripped == "&energy":
+            in_energy = True
+        elif stripped == "/":
+            in_energy = False
+        elif in_energy and not done and stripped.startswith("fermi"):
+            eq = line.find("=")
+            if eq >= 0:
+                rest = line[eq + 1:]
+                com = rest.find("!")
+                comment = rest[com:] if com >= 0 else "\n"
+                line = line[:eq + 1] + f" {fermi:.6f} " + comment
+                if not line.endswith("\n"):
+                    line += "\n"
+                done = True
+        out.append(line)
+    with open(filename, "w") as fh:
+        fh.writelines(out)
+
+
 class SelfConsistency:
     def __init__(self, sys: BulkSystem, workdir: str = "."):
         self.sys = sys
@@ -192,6 +226,9 @@ class SelfConsistency:
             with g_timer.section("atomic-scf"):
                 self.run_scf()
 
+            # rewrite fermi in the input file (self.f90 :748; skipped
+            # for read-only inputs)
+            update_fermi_in_input(self.fermi, cfg.control.fname)
             self.save_checkpoints()
             self.state.delta = self.mix.delta
             self.state.niter = it
@@ -210,13 +247,18 @@ class SelfConsistency:
 
         cfg = self.cfg
         wsm = self.sys.cluster.wav * ANG2AU
-        # the C++ twin implements the LDA functionals only; gradient
-        # functionals (txc 5/8/9) run the Python radial solver
-        use_native = native.available() and cfg.control.txc not in (5, 8, 9)
+        # the C++ twin implements the LDA functionals only and no
+        # hyperfine accumulation; those paths run the Python solver
+        use_native = (native.available()
+                      and cfg.control.txc not in (5, 8, 9)
+                      and not cfg.control.hyperfine)
         for ia, isp in enumerate(self.iz_rec):
             at = self.sys.atoms[isp]
             pot = at.potential
             solver = native.atomsc_native if use_native else atomsc
+            kwargs = {}
+            if cfg.control.hyperfine and not use_native:
+                kwargs["hyperfine"] = True
             res = solver(
                 z=at.element.atomic_number,
                 lmax=pot.lmax,
@@ -226,7 +268,15 @@ class SelfConsistency:
                 ql=pot.ql,
                 ifcore=at.element.f_core,
                 txc=cfg.control.txc,
+                **kwargs,
             )
+            if getattr(res, "hyper_field", None) is not None:
+                pot.hyper_field = res.hyper_field
+                g_logger.info(
+                    f"Hyperfine field for atom {ia + 1}: H_core="
+                    f"{res.hyper_field[0]:8.3f} T, H_val="
+                    f"{res.hyper_field[1]:8.3f} T."
+                )
             pot.etot = res.etot
             pot.utot = res.utot
             pot.ekin = res.ekin

@@ -52,6 +52,7 @@ class AtomSCFResult:
     vzt: np.ndarray = None  # (nr, 2) v - 2Z/r
     qc: float = 0.0
     nr: int = 0
+    hyper_field: np.ndarray = None  # (2,): [H_core, H_val] in Tesla
 
 
 def _core_correction(e1, e2, ecor0, tol, z, l, nodes, v, a, b, rofi, nr, g):
@@ -83,7 +84,31 @@ def _core_deg(ifcore: int, isp: int, nsp: int) -> float:
     return 7.0 if isp == 0 else dfcore - 7.0
 
 
-def rhocor(z, lmax, konfig, a, b, nr, rofi, v, rho, tol, nsp, ifcore, ec):
+
+def _hyper_weights(nre):
+    """Fortran Simpson pattern: wgta(ij)=4/3 (even 1-based ij) / 2/3
+    (odd), 1/3 at the last point; point 1 excluded (loop from IJ=2)."""
+    ij = np.arange(2, nre + 1)  # 1-based
+    w = np.where(ij % 2 == 0, 4.0 / 3.0, 2.0 / 3.0)
+    w[-1] = 1.0 / 3.0
+    return w
+
+
+def _hyper_contact(z, a, b, rofi, lo, hi, dens):
+    """Relativistically smeared contact integral (self.f90 :1600-1634,
+    :1742-1768): sum w drdi (RT/2)/(r+RT/2)^2 dens/(4 pi r^2), RT =
+    Z (2/c)^2, over 1-based points lo..hi."""
+    c = C_LIGHT
+    rt = z * (2.0 / c) ** 2
+    r = rofi[lo - 1:hi]
+    w = _hyper_weights(hi)[lo - 2:]
+    drdi = a * (r + b)
+    deth = (rt / 2.0) / (r + rt / 2.0) ** 2
+    return float(np.sum(w * drdi * deth * dens / (4.0 * np.pi * r**2)))
+
+
+def rhocor(z, lmax, konfig, a, b, nr, rofi, v, rho, tol, nsp,
+           ifcore, ec, hyper=None):
     """Add core-state density to rho (in place); returns (sumec (2,), ec)."""
     rmax = rofi[nr - 1]
     e1 = -2.5 * z * z - 5.0
@@ -110,6 +135,12 @@ def rhocor(z, lmax, konfig, a, b, nr, rofi, v, rho, tol, nsp, ifcore, ec):
                 gfac = 1.0 + fllp1 / (tmc * r) ** 2
                 rho[1:nre, isp] += deg * (gfac * g[1:nre, 0] ** 2 + g[1:nre, 1] ** 2)
                 sumec[isp] += deg * ecore
+                if hyper is not None and l == 0:
+                    # core s-shell contact term (rhocor :1742-1768;
+                    # gfac = 1 for l = 0)
+                    hyper["sh_core"][konf, isp] = _hyper_contact(
+                        z, a, b, rofi, 2, nre, g[1:nre, 0] ** 2
+                    )
         if ifcore != 0:
             lp1 = lmax + 2
             l = lp1 - 1
@@ -128,10 +159,15 @@ def rhocor(z, lmax, konfig, a, b, nr, rofi, v, rho, tol, nsp, ifcore, ec):
                 gfac = 1.0 + fllp1 / (tmc * r) ** 2
                 rho[1:nre, isp] += deg * (gfac * g[1:nre, 0] ** 2 + g[1:nre, 1] ** 2)
                 sumec[isp] += deg * ecore
+    if hyper is not None:
+        sh = hyper["sh_core"]
+        # HCORE = 52.42 sum_konf (SH_up - SH_dw) (rhocor :1780-1791)
+        hyper["core"] = 52.42 * float((sh[:, 0] - sh[:, 1]).sum())
     return sumec
 
 
-def newrho(z, lmax, a, b, nr, rofi, v, pl, ql, ec, ev, tol, nsp, ifcore):
+def newrho(z, lmax, a, b, nr, rofi, v, pl, ql, ec, ev, tol, nsp,
+           ifcore, hyper=None):
     """Build the full (core + valence) density from PL boundary conditions
     and QL moments.  Returns (rho, sumec, sumev, fun2, vzt)."""
     rocrit = 0.002
@@ -149,7 +185,8 @@ def newrho(z, lmax, a, b, nr, rofi, v, pl, ql, ec, ev, tol, nsp, ifcore):
         vzt[1:, isp] = v[1:, isp] - 2.0 * z / rofi[1:]
 
     rho = np.zeros((nr, nsp))
-    sumec = rhocor(z, lmax, konf, a, b, nr, rofi, v, rho, tol, nsp, ifcore, ec)
+    sumec = rhocor(z, lmax, konf, a, b, nr, rofi, v, rho, tol, nsp,
+                   ifcore, ec, hyper=hyper)
 
     fun2 = np.zeros((nr, lmax + 1, 2))
     sumev = np.zeros(2)
@@ -199,11 +236,27 @@ def newrho(z, lmax, a, b, nr, rofi, v, pl, ql, ec, ev, tol, nsp, ifcore):
                         + gp[1:nre, 1] ** 2 + g[1:nre, 1] * gpp[1:nre, 1])
             )
             fun2[1:nre, l, isp] = gfac * g[1:nre, 0] ** 2 + g[1:nre, 1] ** 2
+            if hyper is not None and l == 0:
+                # valence s contact term (newrho :1600-1634).  The
+                # reference multiplies the WHOLE moment sum by Q0
+                # (its parenthesisation), reproduced faithfully here;
+                # gfac = 1 for l = 0; integral over the full mesh.
+                dens = q0 * (g[1:nr, 0] ** 2
+                             + 2.0 * q1 * (g[1:nr, 0] * gp[1:nr, 0])
+                             + q2 * (gp[1:nr, 0] ** 2
+                                     + g[1:nr, 0] * gpp[1:nr, 0]))
+                hyper["sh_val"][isp] = _hyper_contact(
+                    z, a, b, rofi, 2, nr, dens
+                )
+    if hyper is not None:
+        sv = hyper["sh_val"]
+        hyper["val"] = 52.42 * float(sv[0] - sv[1])
     return rho, sumec, sumev, fun2, vzt
 
 
 def atomsc(z, lmax, a, ws_r, pl, ql, ifcore=0, txc=1, nsp=2,
-           niter=80, rho_init: Optional[np.ndarray] = None) -> AtomSCFResult:
+           niter=80, rho_init: Optional[np.ndarray] = None,
+           hyperfine: bool = False) -> AtomSCFResult:
     """Run the radial SCF loop to self-consistency (``atomsc``)."""
     nr = mesh_grid_size(z, ws_r, a)
     b = mesh_b(ws_r, a, nr)
@@ -251,9 +304,14 @@ def atomsc(z, lmax, a, ws_r, pl, ql, ifcore=0, txc=1, nsp=2,
         v, rvh, vsum = poiss0(z, a, b, rofi, rho_in)
         vnucl = v[0, 0]
         rho0_, reps, rmu = vxc0sp(xcf, a, b, rofi, rho_in, v, nsp)
+        hyp = ({"sh_core": np.zeros((10, 2)), "sh_val": np.zeros(2)}
+               if (hyperfine and last) else None)
         rho, sec, sev, fun2, vzt = newrho(
-            z, lmax, a, b, nr, rofi, v, pl, ql, ec, ev, tl, nsp, ifcore
+            z, lmax, a, b, nr, rofi, v, pl, ql, ec, ev, tl, nsp, ifcore,
+            hyper=hyp
         )
+        if hyp is not None:
+            res.hyper_field = np.array([hyp["core"], hyp["val"]])
         wgt = simpson_weights(nr)
         drho = float(np.sum(np.abs(rho - rho_in) * wgt[:, None]))
         rho_in = beta1 * rho + (1.0 - beta1) * rho_in

@@ -56,13 +56,18 @@ def get_terminf(a_b: np.ndarray, b_b: np.ndarray
 
 
 def bgreen(a_b: np.ndarray, b_b: np.ndarray, a_inf: np.ndarray,
-           b_inf: np.ndarray, ene: np.ndarray, sym_term: bool = False
-           ) -> np.ndarray:
+           b_inf: np.ndarray, ene: np.ndarray, sym_term: bool = False,
+           eta: complex = 0.0) -> np.ndarray:
     """Matrix continued-fraction onsite Green function for one atom.
 
     a_b, b_b: (lld, 18, 18) block coefficients (b_b = sqrt(B^2));
     a_inf/b_inf: (18, 18) terminators; ene: (NE,).
     Returns g0 (18, 18, NE) complex.
+
+    ``eta`` adds a complex shift to the energy in the continued fraction
+    while the terminator square root stays evaluated at the real energy
+    (reference bgreen :1289-1296 and :1314, the imaginary-axis path of
+    ``block_green_ij_eta``).
     """
     lld = a_b.shape[0]
     ldim = a_b.shape[1]
@@ -81,7 +86,7 @@ def bgreen(a_b: np.ndarray, b_b: np.ndarray, a_inf: np.ndarray,
         ebot = np.full(ldim, a_d - 2.0 * b_d)
         det = (e - etop[None, :]) * (e - ebot[None, :])
         zoff = np.sqrt(det.astype(np.complex128))
-        q[:, diag, diag] = (e + 0.0 - a_d - zoff) * 0.5
+        q[:, diag, diag] = (e + eta - a_d - zoff) * 0.5
     else:
         widen = np.ones(ldim)
         widen[0] = 1.025  # s-orbitals widened (bgreen :1296-1304)
@@ -90,7 +95,7 @@ def bgreen(a_b: np.ndarray, b_b: np.ndarray, a_inf: np.ndarray,
         ebot = ai - 2.0 * bi * widen
         det = (e - etop[None, :]) * (e - ebot[None, :])
         zoff = np.sqrt(det.astype(np.complex128))
-        q[:, diag, diag] = (e - ai[None, :] - zoff) * 0.5
+        q[:, diag, diag] = (e + eta - ai[None, :] - zoff) * 0.5
 
     # ---- continued fraction down the chain ---------------------------
     z = np.zeros((ldim, ldim))
@@ -99,7 +104,7 @@ def bgreen(a_b: np.ndarray, b_b: np.ndarray, a_inf: np.ndarray,
         # small-Q zeroing (bgreen :1315-1317)
         small = (np.abs(q.real) < 1e-12) & (np.abs(q.imag) < 1e-12)
         q[small] = 0.0
-        p = e[:, :, None] * z[None, :, :]  # (NE, 18, 18) = E*I
+        p = (e[:, :, None] + eta) * z[None, :, :]  # (NE, 18, 18) = (E+eta)*I
         q = p - a_b[l][None, :, :] - q
         qinv = np.linalg.inv(q)
         b2z = b_b[l]

@@ -87,3 +87,66 @@ def _lops() -> tuple:
 
 #: L operators in the cubic basis, complex (factor -i included)
 L_X, L_Y, L_Z = _lops()
+
+
+# ---------------------------------------------------------------- rotations
+def wigner_small_d(j: float, m: float, mp: float, beta: float) -> float:
+    """Wigner small-d matrix element d^j_{m,mp}(beta) (math.f90 ``DSs``
+    :1929-1960, binomial-sum form)."""
+    from math import comb, factorial
+
+    smin = max(0, int(round(-mp - m)))
+    smax = min(int(round(j - mp)), int(round(j - m)))
+    jm = int(round(j + m))
+    jmm = int(round(j - m))
+    jp = int(round(j + mp))
+    jmp = int(round(j - mp))
+    tot = 0.0
+    for s in range(smin, smax + 1):
+        tot += (comb(jm, jmp - s) * comb(jmm, s)
+                * (-1.0) ** (jmp - s)
+                * np.cos(0.5 * beta) ** (2 * s + mp + m)
+                * np.sin(0.5 * beta) ** (2 * j - 2 * s - mp - m))
+    return tot * np.sqrt(factorial(jp) * factorial(jmp)
+                         / (factorial(jmm) * factorial(jm)))
+
+
+def rotmat18(alfa: float, beta: float, gama: float = 0.0) -> np.ndarray:
+    """18x18 spinor rotation matrix in the spherical-harmonic basis
+    (math.f90 ``ROTMAT`` :2024-2070): orbital Wigner-D per l shell times
+    the spin-1/2 rotation."""
+    im = 1j
+    sm = np.zeros((2, 2), dtype=np.complex128)
+    for a, mu in enumerate((0.5, -0.5)):
+        for b, nu in enumerate((0.5, -0.5)):
+            sm[a, b] = (wigner_small_d(0.5, mu, nu, beta)
+                        * np.exp(-im * (mu * alfa + nu * gama)))
+    mat9 = np.zeros((9, 9), dtype=np.complex128)
+    for j in range(3):
+        s = j * j + j  # 0-based m=0 position
+        for m in range(-j, j + 1):
+            for mp in range(-j, j + 1):
+                mat9[s + m, s + mp] = (
+                    wigner_small_d(float(j), float(m), float(mp), beta)
+                    * np.exp(-im * (m * alfa + mp * gama))
+                )
+    out = np.zeros((18, 18), dtype=np.complex128)
+    out[:9, :9] = mat9 * sm[0, 0]
+    out[:9, 9:] = mat9 * sm[0, 1]
+    out[9:, :9] = mat9 * sm[1, 0]
+    out[9:, 9:] = mat9 * sm[1, 1]
+    return out
+
+
+def rotmag_loc(blocks: np.ndarray, mom: np.ndarray) -> np.ndarray:
+    """Rotate 18x18 blocks to the local frame of moment direction
+    ``mom``: R^H B R per block (math.f90 ``rotmag_loc`` :1990-2022;
+    alfa = atan2(y, x), beta = acos(z/|m|^2) with the reference's
+    squared-norm quirk, exact for unit moments)."""
+    x, y, z = mom
+    d2 = x * x + y * y
+    r2 = x * x + y * y + z * z
+    alfa = 0.0 if d2 == 0.0 else np.arctan2(y, x)
+    beta = np.arccos(np.clip(z / r2, -1.0, 1.0))
+    r = rotmat18(alfa, beta)
+    return np.einsum("ba,...bc,cd->...ad", r.conj(), blocks, r)

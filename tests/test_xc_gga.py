@@ -74,3 +74,20 @@ def test_atomsc_converges_gga(reference_dir, txc):
                          a=0.02, ws_r=pot.ws_r, pl=pot.pl, ql=pot.ql,
                          ifcore=at.element.f_core, txc=1)
         assert abs(res.etot - res_lda.etot) < 5.0
+
+
+def test_hyperfine_fe(reference_dir):
+    """Fermi-contact hyperfine field of bcc Fe: core and valence s
+    contributions both negative (core polarisation opposes the moment),
+    total in the known LMTO-ASA ballpark (-20 to -45 T)."""
+    at = SymbolicAtom.from_file(
+        "Fe", str(reference_dir / "tests/regression/bccFe_lanczos")
+    )
+    pot = at.potential
+    res = atomsc(z=at.element.atomic_number, lmax=pot.lmax, a=0.02,
+                 ws_r=pot.ws_r, pl=pot.pl, ql=pot.ql,
+                 ifcore=at.element.f_core, txc=1, hyperfine=True)
+    h = res.hyper_field
+    assert h is not None and np.all(np.isfinite(h))
+    assert h[0] < 0 and h[1] < 0
+    assert -45.0 < h.sum() < -20.0
