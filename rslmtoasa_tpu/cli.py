@@ -108,6 +108,12 @@ def main(argv=None) -> int:
 
         cc = ConductivityCalculation(sys_, workdir)
         cc.run()
+    elif post == "orbital_modern":
+        from .models.orbital import OrbitalMoment
+
+        om = OrbitalMoment(sys_, workdir)
+        # exact trace up to ~2000 sites, stochastic subsample beyond
+        om.run(n_sites=min(sys_.cluster.kk, 2000))
     elif post == "paoflow2rs":
         from .models.scf import SelfConsistency
 

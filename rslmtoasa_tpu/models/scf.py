@@ -40,10 +40,15 @@ class SCFState:
 def update_fermi_in_input(fermi: float, filename: str):
     """Rewrite the ``fermi =`` line of the &energy group in the input
     file, preserving trailing comments (``self.f90
-    update_fermi_in_input`` :1042-1123).  No-op when the file is absent
-    or not writable (e.g. read-only reference inputs)."""
+    update_fermi_in_input`` :1042-1123).  No-op when the file is absent,
+    not writable, or lives in the read-only reference tree (running as
+    root, os.access(W_OK) lies about permission-protected files)."""
     if not filename or not os.path.exists(filename) \
             or not os.access(filename, os.W_OK):
+        return
+    real = os.path.realpath(filename)
+    if real.startswith("/root/reference") \
+            or not (os.stat(real).st_mode & 0o200):
         return
     with open(filename) as fh:
         lines = fh.readlines()

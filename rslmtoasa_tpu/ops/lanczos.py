@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 
 def block_spmv(hs: jnp.ndarray, iz: jnp.ndarray, cols: jnp.ndarray,
-               psi: jnp.ndarray) -> jnp.ndarray:
+               psi: jnp.ndarray, slot_chunk: int = None) -> jnp.ndarray:
     """y[i] = sum_m H[iz[i], m] @ psi[cols[i, m]].
 
     Parameters
@@ -44,6 +44,17 @@ def block_spmv(hs: jnp.ndarray, iz: jnp.ndarray, cols: jnp.ndarray,
     per-atom (B x B) form runs tiny matmuls that waste the MXU.
     """
     ntype = hs.shape[0]
+    if slot_chunk is not None and ntype == 1:
+        # chunked gather: peak gather memory drops by nslots/slot_chunk
+        # (essential under the TPU f64 emulation, which expands every
+        # f64 buffer into 8 f32 slices)
+        ns = hs.shape[1]
+        out = None
+        for s0 in range(0, ns, slot_chunk):
+            pg = psi[cols[:, s0:s0 + slot_chunk]]
+            yt = jnp.einsum("mab,imbc->iac", hs[0, s0:s0 + slot_chunk], pg)
+            out = yt if out is None else out + yt
+        return out
     pg = psi[cols]  # (kk, nslots, B, C)
     if ntype == 1:
         return jnp.einsum("mab,imbc->iac", hs[0], pg)
@@ -92,7 +103,7 @@ def lanczos_coefficients(
         return (psi_new, pmn_new, summ), (a_ll, b2_ll)
 
     pmn0 = jnp.zeros((kk1 - 1, b, c), dtype=psi0.dtype)
-    summ0 = jnp.ones((c,), dtype=jnp.float64)
+    summ0 = jnp.ones((c,), dtype=jnp.real(psi0).dtype)
     (psi, pmn, summ), (a, b2) = jax.lax.scan(
         step, (psi0, pmn0, summ0), None, length=lld - 1
     )
@@ -141,13 +152,14 @@ def merge_vector(x) -> "np.ndarray":
     return x[..., :b, :] + 1j * x[..., b:, :]
 
 
-@partial(jax.jit, static_argnames=("lld",))
+@partial(jax.jit, static_argnames=("lld", "slot_chunk"))
 def lanczos_coefficients_split(
     hs: jnp.ndarray,
     iz: jnp.ndarray,
     cols: jnp.ndarray,
     psi0: jnp.ndarray,
     lld: int,
+    slot_chunk: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Haydock recursion in the realified representation.
 
@@ -163,7 +175,7 @@ def lanczos_coefficients_split(
 
     def step(carry, _):
         psi, pmn, summ_prev = carry
-        v = block_spmv(hs, iz, cols, psi)
+        v = block_spmv(hs, iz, cols, psi, slot_chunk=slot_chunk)
         a_ll = jnp.sum(v * psi[:-1], axis=(0, 1))
         b2_ll = summ_prev
         pmn = pmn + v - a_ll[None, None, :] * psi[:-1]
