@@ -247,20 +247,60 @@ def neighbor_map(cl: Cluster, ct1: float) -> Cluster:
     """
     pos = cl.cr_ang  # (kk,3)
     cl._ct1 = float(ct1)
-    tree = cKDTree(pos)
     rcut2 = ct1 * ct1
-    # neighbor lists in ascending index order (matches nncal discovery order)
-    pairs = tree.query_ball_point(pos, r=ct1, p=2.0)
+    wrap = cl.pbc and any(cl.pbc_wrap)
+    if wrap:
+        # ghost images along the wrapped supercell axes; each (i, j)
+        # pair keeps only its minimum image (f_wrap_coord_diff
+        # :2975-3018 computes exactly one wrapped difference per pair)
+        n = cl.pbc_dims
+        av = cl.cell.a * cl.alat
+        rx = (-1, 0, 1) if cl.pbc_wrap[0] else (0,)
+        ry = (-1, 0, 1) if cl.pbc_wrap[1] else (0,)
+        rz = (-1, 0, 1) if cl.pbc_wrap[2] else (0,)
+        shifts = [x * n[0] * av[:, 0] + y * n[1] * av[:, 1]
+                  + z * n[2] * av[:, 2]
+                  for x in rx for y in ry for z in rz]
+        all_pos = np.concatenate([pos + sh[None, :] for sh in shifts])
+        src = np.tile(np.arange(cl.kk), len(shifts))
+        gtree = cKDTree(all_pos)
+        raw = gtree.query_ball_point(pos, r=ct1, p=2.0)
+
+        def _neigh(i):
+            """(sorted source indices, wrapped vectors) within the cut."""
+            cand = np.array(raw[i], dtype=np.int64)
+            if cand.size == 0:
+                return cand, np.zeros((0, 3))
+            sj = src[cand]
+            v = all_pos[cand] - pos[i]
+            d2 = (v**2).sum(axis=1)
+            keep = (d2 < rcut2) & ~((sj == i) & (d2 < 1e-12))
+            cand, sj, v, d2 = cand[keep], sj[keep], v[keep], d2[keep]
+            # minimum image per source atom
+            order = np.lexsort((d2, sj))
+            sj, v, d2 = sj[order], v[order], d2[order]
+            first = np.concatenate([[True], sj[1:] != sj[:-1]])
+            return sj[first], v[first]
+    else:
+        tree = cKDTree(pos)
+        # neighbor lists in ascending index order (nncal discovery order)
+        pairs = tree.query_ball_point(pos, r=ct1, p=2.0)
+
+        def _neigh(i):
+            nb = np.array(sorted(j for j in pairs[i] if j != i),
+                          dtype=np.int64)
+            v = pos[nb] - pos[i]
+            d2 = (v**2).sum(axis=1)
+            keep = d2 < rcut2
+            return nb[keep], v[keep]
 
     nsites = int(cl.num.max())
     assert cl.iu is not None
     dirs: List[np.ndarray] = []
     for site in range(1, nsites + 1):
         la = int(cl.iu[site - 1]) - 1  # 0-based cluster index of representative
-        nb = np.array(sorted(j for j in pairs[la] if j != la), dtype=np.int64)
-        d2 = ((pos[nb] - pos[la]) ** 2).sum(axis=1)
-        nb = nb[d2 < rcut2]
-        dirs.append(pos[nb] - pos[la])  # sbarvec convention: r_j - r_la
+        _, v = _neigh(la)
+        dirs.append(v)  # sbarvec convention: r_j - r_la
 
     nnmax = max((d.shape[0] for d in dirs), default=0)
     nn = np.full((cl.kk, nnmax), -1, dtype=np.int64)
@@ -271,12 +311,9 @@ def neighbor_map(cl: Cluster, ct1: float) -> Cluster:
         dset = dirs[site]
         if dset.shape[0] == 0:
             continue
-        nb = np.array([j for j in pairs[i] if j != i], dtype=np.int64)
+        nb, v = _neigh(i)
         if nb.size == 0:
             continue
-        d2 = ((pos[nb] - pos[i]) ** 2).sum(axis=1)
-        nb = nb[d2 < rcut2]
-        v = pos[nb] - pos[i]  # (nv,3)
         # match each bond vector to a canonical slot (remd eps = 1e-4)
         diff2 = ((v[:, None, :] - dset[None, :, :]) ** 2).sum(axis=2)  # (nv, nd)
         slot = np.argmin(diff2, axis=1)

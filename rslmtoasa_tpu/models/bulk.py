@@ -72,12 +72,19 @@ class BulkSystem:
                 pbc_dims=(lat.n1, lat.n2, lat.n3),
                 pbc_wrap=(bool(lat.b1), bool(lat.b2), bool(lat.b3)),
             )
-            if cl.pbc and any(cl.pbc_wrap):
-                raise NotImplementedError(
-                    "wrapped periodic boundaries (b1/b2/b3) not yet supported"
-                )
             cl._ct1 = float(lat.ct[0])
-            if cfg.control.calctype == "I":
+            pre = (cfg.calculation.pre_processing or "").strip()
+            if pre == "newclusurf":
+                # impurity embedded in a surface slab
+                # (pre_processing_newclusurf: bravais -> build_surf_full
+                # -> newclu, calculation.f90 :848-858)
+                from ..geometry.cluster import newclu
+                from ..geometry.surface import build_surf_full
+
+                cl = build_surf_full(cl, lat.surftype, int(lat.nlay),
+                                     cell.ntot)
+                cl = newclu(cl, lat.inclu, cell.ntot)
+            elif cfg.control.calctype == "I":
                 from ..geometry.cluster import newclu
 
                 cl = newclu(cl, lat.inclu, cell.ntot)
@@ -237,6 +244,18 @@ class BulkSystem:
                     np.concatenate(b_parts, axis=1))
         psi0 = block_start_vectors(cl.kk, rec_atoms)
         with g_timer.section("block-recursion"):
+            import jax
+
+            if jax.default_backend() != "cpu":
+                # no complex dtypes on the TPU backend: realified path
+                from ..ops.block_lanczos import block_lanczos_split
+
+                a_b, b2_b = block_lanczos_split(
+                    blocks, lsham, iz_rows, hb.cols, psi0, lld,
+                    hoh=hoh, hso=blocks_o if hoh else None,
+                    enim=hb.enim if hoh else None, iz_onsite=iz_sp,
+                )
+                return a_b, b2_b
             a_b, b2_b = block_lanczos(
                 jnp.asarray(blocks),
                 jnp.asarray(lsham),
@@ -274,6 +293,16 @@ class BulkSystem:
         blocks, blocks_o, iz_rows, iz_sp = self._spmv_tables()
         psi0 = block_start_vectors(cl.kk, rec_atoms)
         with g_timer.section("chebyshev-recursion"):
+            import jax
+
+            if jax.default_backend() != "cpu":
+                from ..ops.chebyshev import chebyshev_moments_split
+
+                return chebyshev_moments_split(
+                    blocks, lsham, iz_rows, hb.cols, psi0, lld, a, b,
+                    hoh=hoh, hso=blocks_o if hoh else None,
+                    enim=hb.enim if hoh else None, iz_onsite=iz_sp,
+                )
             mu = chebyshev_moments(
                 jnp.asarray(blocks),
                 jnp.asarray(lsham),

@@ -147,30 +147,51 @@ class ConductivityCalculation:
         from ..ops.kubo import kubo_moments
 
         # device path: blocked left-chain storage, lax.scan right chains.
-        # complex128 on CPU (parity); complex64 on TPU (no c128 on v5e)
-        cdtype = (np.complex128 if jax.default_backend() == "cpu"
-                  else np.complex64)
+        # CPU: complex128.  TPU (no complex dtypes on the backend):
+        # realified 36x36 f32 blocks -- realify commutes with products
+        # and adjoints, so the engine runs unchanged and mu is recovered
+        # from the real image (KPM noise floor far below the Lorentz
+        # kernel broadening).
+        realified = jax.default_backend() != "cpu"
+        if realified:
+            from ..ops.block_lanczos import realify_blocks
+
+            jb = jnp.asarray(realify_blocks(hb.ee), jnp.float32)
+            jlsh = jnp.asarray(realify_blocks(lsh), jnp.float32)
+            jva = jnp.asarray(realify_blocks(v_a), jnp.float32)
+            jvb = jnp.asarray(realify_blocks(v_b), jnp.float32)
+            d = 36
+            itemsize = 4
+        else:
+            jb = jnp.asarray(hb.ee)
+            jlsh = jnp.asarray(lsh)
+            jva = jnp.asarray(v_a)
+            jvb = jnp.asarray(v_b)
+            d = 18
+            itemsize = 16
         # bound the stored left block to ~1 GB
-        per_vec = cl.kk * 324 * np.dtype(cdtype).itemsize
+        per_vec = cl.kk * d * d * itemsize
         block_size = int(min(cond_ll, max(8, (1 << 30) // per_vec)))
-        jb = jnp.asarray(hb.ee, cdtype)
-        jlsh = jnp.asarray(lsh, cdtype)
-        jva = jnp.asarray(v_a, cdtype)
-        jvb = jnp.asarray(v_b, cdtype)
         jiz = jnp.asarray(iz)
         jcols = jnp.asarray(cols)
         mu = np.zeros((18, 18, cond_ll, cond_ll, ntype), np.complex128)
         for t in range(ntype):
             j = int(cl.atlist[t]) - 1
-            psiref = np.zeros((cl.kk, 18, 18), cdtype)
-            psiref[j] = np.eye(18)
+            psiref = np.zeros((cl.kk, d, d),
+                              np.float32 if realified else np.complex128)
+            psiref[j] = np.eye(d)
             mu_t = kubo_moments(
                 jb, jlsh, jiz, jcols, jva, jvb, jnp.asarray(psiref),
                 n_moments=cond_ll, block_size=block_size,
                 a=float(a), b=float(b),
             )
+            mu_t = np.asarray(mu_t)
+            if realified:
+                from ..ops.block_lanczos import unrealify_blocks
+
+                mu_t = unrealify_blocks(mu_t)
             # (n, m, 18, 18) -> mu[l1, l2, n, m]
-            mu[:, :, :, :, t] = np.transpose(np.asarray(mu_t), (2, 3, 0, 1))
+            mu[:, :, :, :, t] = np.transpose(mu_t, (2, 3, 0, 1))
             g_logger.info(f"Kubo moments done for type {t + 1}")
         return mu
 

@@ -25,13 +25,41 @@ import numpy as np
 
 
 def _spmv18(hs: jnp.ndarray, iz: jnp.ndarray, cols: jnp.ndarray,
-            psi: jnp.ndarray) -> jnp.ndarray:
+            psi: jnp.ndarray, slot_chunk: int = None) -> jnp.ndarray:
     """y[r, i] = sum_m H[iz[i], m] @ psi[r, cols[i, m]].
 
-    hs: (ntype, nslots, 18, 18); psi: (R, kk+1, 18, 18) zero-padded row.
+    hs: (nrows, nslots, d, d); psi: (R, kk+1, d, d) zero-padded row.
+    For small row counts the per-row einsum + mask avoids materialising
+    hs[iz] (kk x nslots x d x d -- the dominant HBM cost at production
+    sizes, 8x worse again under the TPU f64 emulation).
     """
-    hi = hs[iz]  # (kk, nslots, 18, 18)
-    pg = psi[:, cols]  # (R, kk, nslots, 18, 18)
+    nrows, m, d = hs.shape[0], hs.shape[1], hs.shape[2]
+    if slot_chunk is not None and nrows <= 4:
+        out = None
+        for s0 in range(0, m, slot_chunk):
+            y = _spmv18(hs[:, s0:s0 + slot_chunk], iz,
+                        cols[:, s0:s0 + slot_chunk], psi)
+            out = y if out is None else out + y
+        return out
+    pg = psi[:, cols]  # (R, kk, nslots, d, d)
+    r, kk = pg.shape[0], pg.shape[1]
+    c = pg.shape[-1]
+    if nrows <= 4:
+        # flatten (slot, b) into ONE contraction so XLA emits a single
+        # (d x m*d) @ (m*d x c) dot per atom instead of materialising a
+        # broadcast of the block table over all atoms (the einsum with a
+        # slot batch axis lowers to broadcast-multiply-reduce and OOMs
+        # at production sizes under the f64 emulation)
+        pgf = pg.reshape(r, kk, m * d, c)
+        out = None
+        for t in range(nrows):
+            hflat = hs[t].transpose(1, 0, 2).reshape(d, m * d)
+            yt = jnp.einsum("aB,riBc->riac", hflat, pgf)
+            if nrows > 1:
+                yt = jnp.where((iz == t)[None, :, None, None], yt, 0.0)
+            out = yt if out is None else out + yt
+        return out
+    hi = hs[iz]  # (kk, nslots, d, d)
     return jnp.einsum("imab,rimbc->riac", hi, pg)
 
 
@@ -52,7 +80,7 @@ def _eig_sqrt(b2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return b, b_i
 
 
-@partial(jax.jit, static_argnames=("lld", "hoh"))
+@partial(jax.jit, static_argnames=("lld", "hoh", "slot_chunk"))
 def block_lanczos(
     hs: jnp.ndarray,  # (nrows, nslots, 18, 18) block-row table
     lsham: jnp.ndarray,  # (ntype, 18, 18) SOC (zeros if disabled)
@@ -64,26 +92,28 @@ def block_lanczos(
     hso: Optional[jnp.ndarray] = None,  # (nrows, nslots, 18, 18) eeo blocks
     enim: Optional[jnp.ndarray] = None,  # (ntype, 18, 18)
     iz_onsite: Optional[jnp.ndarray] = None,  # species index for onsite ops
+    slot_chunk: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the block recursion; returns (a_b, b2_b) of shape
     (lld, R, 18, 18) with the reference conventions: b2_b[0] = I,
     a_b[lld-1] = 0, b2_b[lld-1] = last residual Gram matrix."""
     r, kk1 = psi0.shape[0], psi0.shape[1]
-    eye = jnp.eye(18, dtype=psi0.dtype)
+    d = psi0.shape[-1]  # 18 complex, 36 realified
+    eye = jnp.eye(d, dtype=psi0.dtype)
     izo = iz if iz_onsite is None else iz_onsite
 
     def apply_h(psi):
         if hoh:
-            hpsi = _spmv18(hs, iz, cols, psi)
+            hpsi = _spmv18(hs, iz, cols, psi, slot_chunk)
             hpsi_pad = jnp.concatenate(
-                [hpsi, jnp.zeros((r, 1, 18, 18), psi.dtype)], axis=1
+                [hpsi, jnp.zeros((r, 1, d, d), psi.dtype)], axis=1
             )
-            hohpsi = _spmv18(hso, iz, cols, hpsi_pad)
+            hohpsi = _spmv18(hso, iz, cols, hpsi_pad, slot_chunk)
             enupsi = _onsite18(enim, izo, psi)
             socpsi = _onsite18(lsham, izo, psi)
             return hpsi - hohpsi + enupsi + socpsi
         # non-HoH: lsham folds into the onsite slot
-        hpsi = _spmv18(hs, iz, cols, psi)
+        hpsi = _spmv18(hs, iz, cols, psi, slot_chunk)
         return hpsi + _onsite18(lsham, izo, psi)
 
     def step(carry, _):
@@ -97,16 +127,16 @@ def block_lanczos(
         psi_new = jnp.einsum("riab,rbc->riac", pmn, b_i)
         pmn_new = jnp.einsum("riab,rbc->riac", psi[:, :-1], b)
         psi_new = jnp.concatenate(
-            [psi_new, jnp.zeros((r, 1, 18, 18), psi.dtype)], axis=1
+            [psi_new, jnp.zeros((r, 1, d, d), psi.dtype)], axis=1
         )
         return (psi_new, pmn_new, b2), (a_ll, sum_b_prev)
 
-    pmn0 = jnp.zeros((r, kk1 - 1, 18, 18), dtype=psi0.dtype)
-    sum_b0 = jnp.broadcast_to(eye, (r, 18, 18))
+    pmn0 = jnp.zeros((r, kk1 - 1, d, d), dtype=psi0.dtype)
+    sum_b0 = jnp.broadcast_to(eye, (r, d, d))
     (psi, pmn, sum_b), (a_b, b2_b) = jax.lax.scan(
         step, (psi0, pmn0, sum_b0), None, length=lld - 1
     )
-    a_b = jnp.concatenate([a_b, jnp.zeros((1, r, 18, 18), a_b.dtype)], axis=0)
+    a_b = jnp.concatenate([a_b, jnp.zeros((1, r, d, d), a_b.dtype)], axis=0)
     b2_b = jnp.concatenate([b2_b, sum_b[None]], axis=0)
     return a_b, b2_b
 
@@ -126,3 +156,56 @@ def zsqr(b2_b: np.ndarray) -> np.ndarray:
     ev, u = np.linalg.eigh(b2_b)
     lam = np.sqrt(ev)
     return np.einsum("...ab,...b,...cb->...ac", u, lam, u.conj())
+
+
+# ------------------------------------------------------------------
+# Realified (split-complex) path for TPU backends with no complex dtypes.
+# realify is a *-algebra homomorphism: M -> [[Re, -Im], [Im, Re]] commutes
+# with products, adjoints (transpose of the real image), and analytic
+# matrix functions (sqrt/inv via eigh of the symmetric image).  The block
+# recursion therefore runs UNCHANGED on 36x36 real blocks; only the
+# embedding/extraction below is new.  2x memory/flops redundancy vs an
+# optimal split -- acceptable against the TPU f64-emulation cost.
+# ------------------------------------------------------------------
+
+def realify_blocks(x: np.ndarray) -> np.ndarray:
+    """(..., B, B) complex -> (..., 2B, 2B) real embedding."""
+    x = np.asarray(x)
+    b = x.shape[-1]
+    out = np.zeros(x.shape[:-2] + (2 * b, 2 * b))
+    out[..., :b, :b] = x.real
+    out[..., :b, b:] = -x.imag
+    out[..., b:, :b] = x.imag
+    out[..., b:, b:] = x.real
+    return out
+
+
+def unrealify_blocks(x: np.ndarray) -> np.ndarray:
+    """(..., 2B, 2B) real embedding -> (..., B, B) complex."""
+    x = np.asarray(x)
+    b = x.shape[-1] // 2
+    return x[..., :b, :b] + 1j * x[..., b:, :b]
+
+
+def block_lanczos_split(hs, lsham, iz, cols, psi0, lld, hoh=False,
+                        hso=None, enim=None, iz_onsite=None,
+                        slot_chunk=3):
+    """Realified block recursion: complex inputs, complex outputs, all
+    device math real f64.  Drop-in for :func:`block_lanczos` on
+    backends without complex support."""
+    import jax.numpy as jnp
+
+    args = dict(
+        hs=jnp.asarray(realify_blocks(hs)),
+        lsham=jnp.asarray(realify_blocks(lsham)),
+        iz=jnp.asarray(iz), cols=jnp.asarray(cols),
+        psi0=jnp.asarray(realify_blocks(psi0)),
+        lld=lld, hoh=hoh,
+        hso=jnp.asarray(realify_blocks(hso)) if hso is not None else None,
+        enim=jnp.asarray(realify_blocks(enim)) if enim is not None else None,
+        iz_onsite=jnp.asarray(iz_onsite) if iz_onsite is not None else None,
+        slot_chunk=slot_chunk,
+    )
+    a_b, b2_b = block_lanczos(**args)
+    return unrealify_blocks(np.asarray(a_b)), \
+        unrealify_blocks(np.asarray(b2_b))

@@ -38,8 +38,10 @@ def chebyshev_moments(
     enim: Optional[jnp.ndarray] = None,
     iz_onsite: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Block Chebyshev moments mu_n of shape (2*lld+2, R, 18, 18)."""
+    """Block Chebyshev moments mu_n of shape (2*lld+2, R, d, d)
+    (d = 18 complex, 36 realified)."""
     r = psi0.shape[0]
+    d = psi0.shape[-1]
     izo = iz if iz_onsite is None else iz_onsite
 
     def apply_h(psi):
@@ -47,7 +49,7 @@ def chebyshev_moments(
         if hoh:
             hpsi = _spmv18(hs, iz, cols, psi)
             hpsi_pad = jnp.concatenate(
-                [hpsi, jnp.zeros((r, 1, 18, 18), psi.dtype)], axis=1
+                [hpsi, jnp.zeros((r, 1, d, d), psi.dtype)], axis=1
             )
             hohpsi = _spmv18(hso, iz, cols, hpsi_pad)
             hpsi = hpsi - hohpsi + _onsite18(enim, izo, psi) \
@@ -58,7 +60,7 @@ def chebyshev_moments(
 
     def pad(x):
         return jnp.concatenate(
-            [x, jnp.zeros((r, 1, 18, 18), x.dtype)], axis=1
+            [x, jnp.zeros((r, 1, d, d), x.dtype)], axis=1
         )
 
     mu0 = jnp.einsum("riba,ribc->rac", psi0[:, :-1].conj(), psi0[:, :-1])
@@ -78,7 +80,7 @@ def chebyshev_moments(
         step, (psi0, psi1), None, length=lld
     )
     # interleave: [mu0, mu1, mu2=odd(0), mu3=even(0), mu4=odd(1), ...]
-    mu = jnp.zeros((2 * lld + 2, r, 18, 18), dtype=psi0.dtype)
+    mu = jnp.zeros((2 * lld + 2, r, d, d), dtype=psi0.dtype)
     mu = mu.at[0].set(mu0).at[1].set(mu1)
     mu = mu.at[2::2].set(mu_odd)
     mu = mu.at[3::2].set(mu_even)
@@ -124,3 +126,28 @@ def chebyshev_green(mu: np.ndarray, ene: np.ndarray, emin: float,
     g0 = np.einsum("en,nab->abe", expf, mu_ng)
     g0 /= np.sqrt(a**2 - (ene - b) ** 2)[None, None, :]
     return g0
+
+
+def chebyshev_moments_split(hs, lsham, iz, cols, psi0, lld, a, b,
+                            hoh=False, hso=None, enim=None,
+                            iz_onsite=None):
+    """Realified Chebyshev moments for backends without complex dtypes
+    (see ops.block_lanczos realify notes).  Complex in/out."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .block_lanczos import realify_blocks, unrealify_blocks
+
+    mu = chebyshev_moments(
+        jnp.asarray(realify_blocks(hs)),
+        jnp.asarray(realify_blocks(lsham)),
+        jnp.asarray(iz), jnp.asarray(cols),
+        jnp.asarray(realify_blocks(psi0)),
+        lld, a, b, hoh=hoh,
+        hso=jnp.asarray(realify_blocks(hso)) if hso is not None else None,
+        enim=(jnp.asarray(realify_blocks(enim))
+              if enim is not None else None),
+        iz_onsite=(jnp.asarray(iz_onsite)
+                   if iz_onsite is not None else None),
+    )
+    return unrealify_blocks(np.asarray(mu))

@@ -95,8 +95,10 @@ def kubo_moments(blocks, lsham, iz, cols, va, vb, psi0, *,
 
     init = (0, jnp.zeros_like(psi0), psi0)
     _, mu = jax.lax.scan(outer, init, None, length=nblocks)
-    # (nblocks, n, Mb, 18, 18) -> (n, nblocks*Mb, 18, 18)
+    # (nblocks, n, Mb, d, d) -> (n, nblocks*Mb, d, d); d = 18 complex,
+    # 36 realified
+    d = psi0.shape[-1]
     mu = jnp.moveaxis(mu, 0, 1).reshape(
-        n_moments, nblocks * block_size, 18, 18
+        n_moments, nblocks * block_size, d, d
     )
     return mu[:, :n_moments]

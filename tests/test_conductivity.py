@@ -116,3 +116,35 @@ def test_conductivity_pipeline_outputs(tmp_path):
     assert dat.shape[1] == 3 and np.all(np.isfinite(dat))
     # cumulative integral: flat before the band, monotone build-up region
     assert abs(dat[0, 1]) <= abs(dat[:, 1]).max()
+
+
+def test_kubo_realified_parity():
+    """The realified 36x36 Kubo engine (the TPU path) reproduces the
+    complex moments exactly."""
+    from rslmtoasa_tpu.ops.block_lanczos import (
+        realify_blocks,
+        unrealify_blocks,
+    )
+
+    sys_ = build_synthetic_bcc(rc=9.0, lld=4, nsp=2)
+    hb = sys_.ham
+    kk = sys_.cluster.kk
+    v_a, v_b = build_velocity_operators(
+        sys_, np.array([0.0, 1.0, 0.0]), np.array([1.0, 0.0, 0.0])
+    )
+    m1 = np.asarray(kubo_moments(
+        jnp.asarray(hb.ee), jnp.asarray(hb.lsham), jnp.asarray(hb.iz),
+        jnp.asarray(hb.cols), jnp.asarray(v_a), jnp.asarray(v_b),
+        jnp.asarray(_start(kk)), n_moments=5, block_size=3,
+        a=1.9, b=-0.2,
+    ))
+    psir = np.zeros((kk, 36, 36))
+    psir[0] = np.eye(36)
+    m2 = unrealify_blocks(np.asarray(kubo_moments(
+        jnp.asarray(realify_blocks(hb.ee)),
+        jnp.asarray(realify_blocks(hb.lsham)), jnp.asarray(hb.iz),
+        jnp.asarray(hb.cols), jnp.asarray(realify_blocks(v_a)),
+        jnp.asarray(realify_blocks(v_b)), jnp.asarray(psir),
+        n_moments=5, block_size=3, a=1.9, b=-0.2,
+    )))
+    np.testing.assert_allclose(m2, m1, atol=1e-10)

@@ -73,3 +73,68 @@ def test_sbar_structure(bcc_cluster):
     # onsite block symmetric positive-ish diagonal
     assert np.allclose(sb[0], sb[0].T, atol=1e-8)
     assert (np.diag(sb[0]) > 0).all()
+
+
+def test_pbc_wrapped_full_coordination():
+    """b1=b2=b3 wrapped box: every atom must have the complete bulk
+    coordination (no boundary truncation) and bond vectors matching the
+    canonical set (minimum-image wrap)."""
+    import numpy as np
+
+    from rslmtoasa_tpu.geometry import (
+        bravais_cluster,
+        neighbor_map,
+        primitive_cell,
+    )
+
+    cell = primitive_cell("bcc")
+    cl = bravais_cluster(cell, alat=2.8612, rc=50.0, wav=1.4088,
+                         pbc=True, pbc_dims=(4, 4, 4),
+                         pbc_wrap=(True, True, True))
+    neighbor_map(cl, ct1=3.0)
+    # 4x4x4 box of the one-atom bcc primitive cell: 64 atoms, every one
+    # fully coordinated (8 nn + 6 nnn within 3 Angstrom)
+    assert cl.kk == 64
+    filled = (cl.nn >= 0).sum(axis=1)
+    assert np.all(filled == 14), filled.min()
+
+
+def test_pbc_wrapped_translational_invariance():
+    """All atoms of a wrapped perfect crystal are equivalent: scalar
+    recursion coefficients must be identical for every start atom."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rslmtoasa_tpu.geometry import (
+        bravais_cluster,
+        neighbor_map,
+        primitive_cell,
+        sbar_for_cluster,
+    )
+    from rslmtoasa_tpu.models.presets import synthetic_bcc_atom
+    from rslmtoasa_tpu.ops.lanczos import (
+        lanczos_coefficients,
+        scalar_start_vectors,
+    )
+    from rslmtoasa_tpu.physics.hamiltonian import build_bulkham
+
+    cell = primitive_cell("bcc")
+    cl = bravais_cluster(cell, alat=2.8612, rc=50.0, wav=1.4088,
+                         pbc=True, pbc_dims=(4, 4, 4),
+                         pbc_wrap=(True, True, True))
+    cl._ct1 = 3.0
+    neighbor_map(cl, ct1=3.0)
+    at = synthetic_bcc_atom()
+    at.potential.build_pot()
+    sbars, sbarvecs = sbar_for_cluster(cl.cr_ang, cl.iu, cl.wav, 9.0)
+    hb = build_bulkham(cl, [at], sbars, sbarvecs)
+    psi0 = scalar_start_vectors(cl.kk, [0, 21, 47])
+    a, b2 = lanczos_coefficients(
+        jnp.asarray(hb.ee[:, :, :9, :9]), jnp.asarray(hb.iz),
+        jnp.asarray(hb.cols), jnp.asarray(psi0), 8,
+    )
+    a = np.asarray(a).reshape(8, 3, 9)
+    b2 = np.asarray(b2).reshape(8, 3, 9)
+    np.testing.assert_allclose(a[:, 1], a[:, 0], atol=1e-10)
+    np.testing.assert_allclose(a[:, 2], a[:, 0], atol=1e-10)
+    np.testing.assert_allclose(b2[:, 1], b2[:, 0], atol=1e-10)

@@ -113,3 +113,53 @@ def test_local_axis_rotation_invariance():
     a1, b1 = sys_.run_block()
     np.testing.assert_allclose(a1, a0, atol=1e-10)
     np.testing.assert_allclose(b1, b0, atol=1e-10)
+
+
+def test_block_lanczos_split_parity():
+    """Realified (36x36 real) block recursion == complex block recursion
+    (realify is a *-homomorphism; eig-based sqrt commutes with it)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rslmtoasa_tpu.models.presets import build_synthetic_bcc
+    from rslmtoasa_tpu.ops.block_lanczos import (
+        block_lanczos,
+        block_lanczos_split,
+        block_start_vectors,
+    )
+
+    sys_ = build_synthetic_bcc(rc=9.0, lld=6, nsp=2)
+    hb = sys_.ham
+    kk = sys_.cluster.kk
+    psi0 = block_start_vectors(kk, [0, 3])
+    a1, b1 = block_lanczos(
+        jnp.asarray(hb.ee), jnp.asarray(hb.lsham), jnp.asarray(hb.iz),
+        jnp.asarray(hb.cols), jnp.asarray(psi0), 6,
+    )
+    a2, b2 = block_lanczos_split(hb.ee, hb.lsham, hb.iz, hb.cols, psi0, 6)
+    np.testing.assert_allclose(a2, np.asarray(a1), atol=1e-10)
+    np.testing.assert_allclose(b2, np.asarray(b1), atol=1e-10)
+
+
+def test_chebyshev_split_parity():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rslmtoasa_tpu.models.presets import build_synthetic_bcc
+    from rslmtoasa_tpu.ops.block_lanczos import block_start_vectors
+    from rslmtoasa_tpu.ops.chebyshev import (
+        chebyshev_moments,
+        chebyshev_moments_split,
+    )
+
+    sys_ = build_synthetic_bcc(rc=9.0, lld=5, nsp=2)
+    hb = sys_.ham
+    kk = sys_.cluster.kk
+    psi0 = block_start_vectors(kk, [0, 2])
+    m1 = chebyshev_moments(
+        jnp.asarray(hb.ee), jnp.asarray(hb.lsham), jnp.asarray(hb.iz),
+        jnp.asarray(hb.cols), jnp.asarray(psi0), 5, 1.9, -0.2,
+    )
+    m2 = chebyshev_moments_split(hb.ee, hb.lsham, hb.iz, hb.cols, psi0,
+                                 5, 1.9, -0.2)
+    np.testing.assert_allclose(m2, np.asarray(m1), atol=1e-10)
