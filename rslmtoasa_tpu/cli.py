@@ -133,6 +133,7 @@ def main(argv=None) -> int:
             f"SCF finished: converged={state.converged} "
             f"delta={state.delta:.3e}"
         )
+        scf.report()
         if pre == "bravais" and getattr(scf, "bands", None) is not None:
             # post-SCF exports of pre_processing_bravais
             # (calculation.f90 :619-621): rs2pao + orbital quadrupoles

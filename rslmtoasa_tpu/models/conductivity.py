@@ -85,6 +85,83 @@ def spin_current(v: np.ndarray, pol: str = "z") -> np.ndarray:
                   + np.einsum("tmab,bc->tmac", v, s_op))
 
 
+def _l_op18(pol: str) -> np.ndarray:
+    """L_pol in spherical harmonics, spin-block-diagonal 18x18
+    (``select_orbital_operator``)."""
+    l9 = cart2sph({"x": L_X, "y": L_Y, "z": L_Z}[pol])
+    out = np.zeros((18, 18), np.complex128)
+    out[:9, :9] = l9
+    out[9:, 9:] = l9
+    return out
+
+
+def orbital_current(v: np.ndarray, pol: str = "z") -> np.ndarray:
+    """j^L = 1/2 {L_pol, v} per slot
+    (``build_realspace_orbital_velocity_operators`` :568-654)."""
+    l_op = _l_op18(pol)
+    return 0.5 * (np.einsum("ab,tmbc->tmac", l_op, v)
+                  + np.einsum("tmab,bc->tmac", v, l_op))
+
+
+def _onsite_table(op: np.ndarray, like: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(like)
+    out[:, 0] = op[None]
+    return out
+
+
+def build_kubo_operator(sys: BulkSystem, op_type: str, pol: str,
+                        v_dir, velocity_scale=None) -> np.ndarray:
+    """ELL operator table for one Kubo slot (``recursion.f90
+    set_kubo_operator_slot`` :242-585 + the hamiltonian builders
+    :490-840).
+
+    op_type: charge | spin | orbital | spin_accumulation |
+    orbital_accumulation | spin_torque | spin_soc_torque |
+    orbital_torque.
+    """
+    hb = sys.ham
+    v, _ = build_velocity_operators(sys, v_dir, v_dir, velocity_scale)
+    s_op = {"x": S_X, "y": S_Y, "z": S_Z}.get(pol, S_Z)
+    ntype = hb.ee.shape[0]
+    lsh = hb.lsham if hb.lsham is not None else np.zeros(
+        (ntype, 18, 18), np.complex128)
+    if op_type == "charge":
+        return v
+    if op_type == "spin":
+        return spin_current(v, pol)
+    if op_type == "orbital":
+        return orbital_current(v, pol)
+    if op_type == "spin_accumulation":
+        # bare S_pol on the onsite slot
+        return _onsite_table(s_op, hb.ee)
+    if op_type == "orbital_accumulation":
+        return _onsite_table(_l_op18(pol), hb.ee)
+    if op_type in ("spin_soc_torque", "soc_spin_torque"):
+        # (1/i)[S_pol, H_soc] on the onsite slot (:656-696)
+        out = np.zeros_like(hb.ee)
+        out[:, 0] = (1.0 / 1j) * (np.einsum("ab,tbc->tac", s_op, lsh)
+                                  - np.einsum("tab,bc->tac", lsh, s_op))
+        return out
+    if op_type == "spin_torque":
+        # (1/i)[S_pol, hxc] per slot, hxc = spin-odd (exchange-field)
+        # part of each block: ee - I2 (x) (uu + dd)/2 (:698-740;
+        # hxc assembly build_bulkham :1573-1576)
+        hxc = hb.ee.copy()
+        h0 = 0.5 * (hb.ee[:, :, :9, :9] + hb.ee[:, :, 9:, 9:])
+        hxc[:, :, :9, :9] -= h0
+        hxc[:, :, 9:, 9:] -= h0
+        return (1.0 / 1j) * (np.einsum("ab,tmbc->tmac", s_op, hxc)
+                             - np.einsum("tmab,bc->tmac", hxc, s_op))
+    if op_type == "orbital_torque":
+        # (1/i)[L_pol, H] with lsham added on the onsite slot (:755-840)
+        l_op = _l_op18(pol)
+        h = hb.ee.copy()
+        h[:, 0] += lsh
+        return (1.0 / 1j) * (np.einsum("ab,tmbc->tmac", l_op, h)
+                             - np.einsum("tmab,bc->tmac", h, l_op))
+    raise ValueError(f"unknown Kubo operator type {op_type!r}")
+
+
 class ConductivityCalculation:
     def __init__(self, sys: BulkSystem, workdir: str = "."):
         self.sys = sys
@@ -103,6 +180,7 @@ class ConductivityCalculation:
         nml = cfg.namelists.get("hamiltonian")
         v_alpha = np.array([0.0, 1.0, 0.0])
         v_beta = np.array([1.0, 0.0, 0.0])
+        pol_beta = "z"
         if nml is not None:
             va = np.zeros(3)
             vb = np.zeros(3)
@@ -112,9 +190,19 @@ class ConductivityCalculation:
             if nml.has("v_beta"):
                 nml.fill_array("v_beta", vb)
                 v_beta = vb
-        v_a, v_b = build_velocity_operators(sys, v_alpha, v_beta)
-        if cond_type == "spin":
-            v_a = spin_current(v_a, pol_alpha)
+            if nml.has("pol_alpha"):
+                pol_alpha = str(nml.get_scalar("pol_alpha", pol_alpha))
+            if nml.has("pol_beta"):
+                pol_beta = str(nml.get_scalar("pol_beta", pol_beta))
+        # slot b carries linear_in, slot a linear_out
+        # (setup_kubo_operators :242-260); legacy cond_type='spin'
+        # shorthand maps to a spin-current output slot
+        linear_out = cfg.control.linear_out
+        linear_in = cfg.control.linear_in
+        if cond_type == "spin" and linear_out == "charge":
+            linear_out = "spin"
+        v_a = build_kubo_operator(sys, linear_out, pol_alpha, v_alpha)
+        v_b = build_kubo_operator(sys, linear_in, pol_beta, v_beta)
 
         cond_ll = cfg.control.cond_ll
         a = (emesh.energy_max - emesh.energy_min) / (2.0 - 0.3)

@@ -311,6 +311,80 @@ class SelfConsistency:
             at.potential.predls(wsm)
 
     # ------------------------------------------------------------------
+    def report(self):
+        """Write ``report.out`` (reference ``self%report`` :913-1032):
+        total/band energies, spin and orbital moments, magnetic forces,
+        occupations, charge transfers, Fermi energy, hyperfine."""
+        from .spin_dynamics import magnetic_torques
+
+        sys = self.sys
+        cfg = self.cfg
+        bands = getattr(self, "bands", None)
+        path = os.path.join(self.workdir, "report.out")
+        bar = "=" * 75
+        with open(path, "w") as fh:
+            def sec(title):
+                fh.write(bar + "\n|" + title.center(73) + "|\n" + bar + "\n")
+
+            sec("Total Energy")
+            fh.write("Total energy of system: "
+                     f"{sum(at.potential.etot for at in sys.atoms):20.10f}\n")
+            if bands is not None:
+                sec("Band Energy")
+                fh.write("Band energy of system: "
+                         f"{bands.calculate_band_energy():16.10f}\n")
+            sec("Spin moment")
+            mom0 = np.array([sys.atoms[isp].potential.mom0
+                             for isp in self.iz_rec])
+            fh.write("Total spin moment: " + "".join(
+                f"{v:16.10f}" for v in mom0.sum(axis=0)) + "\n")
+            try:
+                mag_for = -magnetic_torques(sys.atoms, self.iz_rec)
+            except Exception:
+                mag_for = np.zeros((3, len(self.iz_rec)))
+            for ia in range(len(self.iz_rec)):
+                fh.write(f"Spin moment of atom{ia + 1:4d}:"
+                         f"{np.linalg.norm(mom0[ia]):10.6f}\n")
+                fh.write(f"Spin moment projections of atom{ia + 1:4d}:"
+                         + "".join(f"{v:10.6f}" for v in mom0[ia]) + "\n")
+                fh.write(f"Magnetic force on atom{ia + 1:4d}:"
+                         + "".join(f"{v:16.6f}"
+                                   for v in mag_for[:, ia]) + "\n")
+            sec("Orbital moment")
+            lmom = np.array([sys.atoms[isp].potential.lmom
+                             for isp in self.iz_rec])
+            fh.write("Total orbital moment: " + "".join(
+                f"{v:16.10f}" for v in lmom.sum(axis=0)) + "\n")
+            for ia in range(len(self.iz_rec)):
+                fh.write(f"Orbital moment of atom{ia + 1:4d}:"
+                         f"{np.linalg.norm(lmom[ia]):10.6f}\n")
+                fh.write(f"Orbital moment projections of atom{ia + 1:4d}:"
+                         + "".join(f"{v:10.6f}" for v in lmom[ia]) + "\n")
+            sec("Charge Transfer")
+            for ia, isp in enumerate(self.iz_rec):
+                pot = sys.atoms[isp].potential
+                occ = pot.ql[0]
+                fh.write(f"Occupation at atom{ia + 1:4d}:"
+                         f"{occ.sum():10.6f}\n")
+                fh.write(f"Up orbital occupation at atom{ia + 1:4d}:"
+                         + "".join(f"{v:10.6f}" for v in occ[:, 0]) + "\n")
+                fh.write(f"Down orbital occupation at atom{ia + 1:4d}:"
+                         + "".join(f"{v:10.6f}" for v in occ[:, 1]) + "\n")
+                dq = occ.sum() - sys.atoms[isp].element.valence
+                fh.write(f"Charge transfer at atom{ia + 1:4d}:"
+                         f"{dq:10.6f}\n")
+            sec("Fermi Energy")
+            fh.write(f"Fermi energy: {self.fermi:10.6f}\n")
+            if cfg.control.hyperfine:
+                sec("Hyperfine field")
+                for ia, isp in enumerate(self.iz_rec):
+                    h = sys.atoms[isp].potential.hyper_field
+                    fh.write(f"Hyperfine field of atom{ia + 1:4d}:"
+                             f"{h.sum():10.3f} T (core {h[0]:8.3f},"
+                             f" valence {h[1]:8.3f})\n")
+        g_logger.info("Calculation finished. Report printed in report.out")
+
+    # ------------------------------------------------------------------
     def _write_totaldos(self, bands: Bands, emesh: EnergyMesh,
                         fermi: float):
         path = os.path.join(self.workdir, "totaldos.out")

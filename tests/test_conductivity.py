@@ -148,3 +148,36 @@ def test_kubo_realified_parity():
         n_moments=5, block_size=3, a=1.9, b=-0.2,
     )))
     np.testing.assert_allclose(m2, m1, atol=1e-10)
+
+
+def test_kubo_operator_types():
+    """All Kubo slot operator types build finite, correctly-structured
+    tables; anticommutator/commutator identities hold block-wise."""
+    from rslmtoasa_tpu.models.conductivity import (
+        S_Z,
+        _l_op18,
+        build_kubo_operator,
+    )
+
+    sys_ = build_synthetic_bcc(rc=9.0, lld=4, nsp=2)
+    hb = sys_.ham
+    d = np.array([0.0, 0.0, 1.0])
+    for op_type in ("charge", "spin", "orbital", "spin_accumulation",
+                    "orbital_accumulation", "spin_torque",
+                    "spin_soc_torque", "orbital_torque"):
+        tab = build_kubo_operator(sys_, op_type, "z", d)
+        assert tab.shape == hb.ee.shape
+        assert np.all(np.isfinite(tab))
+    # spin current with S_z: block-diagonal halves of v survive
+    v = build_kubo_operator(sys_, "charge", "z", d)
+    js = build_kubo_operator(sys_, "spin", "z", d)
+    np.testing.assert_allclose(js[:, :, :9, :9], 0.5 * v[:, :, :9, :9])
+    # accumulation operators live on the onsite slot only
+    acc = build_kubo_operator(sys_, "spin_accumulation", "z", d)
+    np.testing.assert_allclose(acc[:, 0], S_Z[None])
+    assert np.all(acc[:, 1:] == 0)
+    # torque operators are anti-Hermitian times i => Hermitian blocks
+    st = build_kubo_operator(sys_, "spin_soc_torque", "z", d)
+    np.testing.assert_allclose(
+        st[:, 0], np.conj(st[:, 0]).transpose(0, 2, 1), atol=1e-12
+    )
