@@ -143,6 +143,9 @@ def main(argv=None) -> int:
             scf.bands.calculate_orbital_quadrupoles(scf.last_g0, workdir)
 
     print(g_timer.report())
+    from .utils.alloc import g_alloc
+
+    print(g_alloc.report())
     return 0
 
 

@@ -338,6 +338,33 @@ class ConductivityCalculation:
             # cumulative Fermi-cut Simpson over the scaled variable w
             return simpson_f_cumulative(y, w, emesh.nv1)
 
+        # orbital-resolved cumulative curves (calculate_conductivity_tensor
+        # :300-376: cond_total_orb_real/im.out, 18 orbital columns)
+        orb_r = np.stack([cumulative(tot[l].real) / ntype
+                          for l in range(18)])
+        orb_i = np.stack([cumulative(tot[l].imag) / ntype
+                          for l in range(18)])
+        for name, dat in (("cond_total_orb_real.out", orb_r),
+                          ("cond_total_orb_im.out", orb_i)):
+            with open(os.path.join(self.workdir, name), "w") as fh:
+                for i in range(npts):
+                    fh.write(f"{a * w[i] + b - emesh.fermi:16.6e}" + "".join(
+                        f"{dat[l, i]:16.6e}" for l in range(18)) + "\n")
+        for t in range(ntype):
+            sym = self.sys.atoms[t].element.symbol
+            ot_r = np.stack([cumulative(integrand_at[l, :, t].real)
+                             for l in range(18)])
+            ot_i = np.stack([cumulative(integrand_at[l, :, t].imag)
+                             for l in range(18)])
+            for suff, dat in (("_cond_orb_real.out", ot_r),
+                              ("_cond_orb_im.out", ot_i)):
+                with open(os.path.join(self.workdir, sym + suff),
+                          "w") as fh:
+                    for i in range(npts):
+                        fh.write(f"{a * w[i] + b - emesh.fermi:16.6e}"
+                                 + "".join(f"{dat[l, i]:16.6e}"
+                                           for l in range(18)) + "\n")
+
         cum_r = cumulative(tot_r) / ntype
         cum_i = cumulative(tot_i) / ntype
         with open(os.path.join(self.workdir, "cond_total.out"), "w") as fh:

@@ -90,25 +90,48 @@ class ExchangeCalculation:
             (ntype, 18, 18), dtype=np.complex128
         )
         psi0 = pair_start_vectors(cl.kk, self.pairs)
-        with g_timer.section("pair-recursion"):
-            a_b, b2_b = block_lanczos(
-                jnp.asarray(hb.ee),
-                jnp.asarray(lsham),
-                jnp.asarray(hb.iz),
-                jnp.asarray(hb.cols),
-                jnp.asarray(psi0),
-                lld,
-                hoh=cfg.hamiltonian.hoh,
-                hso=jnp.asarray(hb.eeo) if cfg.hamiltonian.hoh else None,
-                enim=jnp.asarray(hb.enim) if cfg.hamiltonian.hoh else None,
-            )
-        a_b = np.asarray(a_b)
-        b_b = zsqr(np.asarray(b2_b))
-        self.a_b = a_b
-        self.b_b = b_b
+        if cfg.control.recur == "chebyshev":
+            # pair-resolved Chebyshev moments (chebyshev_recur_ij
+            # :2376-2494) reconstructed per chain with the Jackson
+            # kernel (chebyshev_green_ij :892-943)
+            from ..ops.chebyshev import chebyshev_moments
 
-        with g_timer.section("intersite-gf"):
-            gi, gj = self._intersite_gf(a_b, b_b, emesh)
+            with g_timer.section("pair-recursion"):
+                mu = np.asarray(chebyshev_moments(
+                    jnp.asarray(hb.ee), jnp.asarray(lsham),
+                    jnp.asarray(hb.iz), jnp.asarray(hb.cols),
+                    jnp.asarray(psi0), lld,
+                    (emesh.energy_max - emesh.energy_min) / (2.0 - 0.3),
+                    (emesh.energy_max + emesh.energy_min) / 2.0,
+                    hoh=cfg.hamiltonian.hoh,
+                    hso=(jnp.asarray(hb.eeo)
+                         if cfg.hamiltonian.hoh else None),
+                    enim=(jnp.asarray(hb.enim)
+                          if cfg.hamiltonian.hoh else None),
+                ))
+            self.mu = mu
+            with g_timer.section("intersite-gf"):
+                gi, gj = self._intersite_gf(None, None, emesh, mu=mu)
+        else:
+            with g_timer.section("pair-recursion"):
+                a_b, b2_b = block_lanczos(
+                    jnp.asarray(hb.ee),
+                    jnp.asarray(lsham),
+                    jnp.asarray(hb.iz),
+                    jnp.asarray(hb.cols),
+                    jnp.asarray(psi0),
+                    lld,
+                    hoh=cfg.hamiltonian.hoh,
+                    hso=jnp.asarray(hb.eeo) if cfg.hamiltonian.hoh else None,
+                    enim=jnp.asarray(hb.enim) if cfg.hamiltonian.hoh else None,
+                )
+            a_b = np.asarray(a_b)
+            b_b = zsqr(np.asarray(b2_b))
+            self.a_b = a_b
+            self.b_b = b_b
+
+            with g_timer.section("intersite-gf"):
+                gi, gj = self._intersite_gf(a_b, b_b, emesh)
 
         with g_timer.section("jij-integrals"):
             results = self._lkag(gi, gj, emesh)
@@ -116,9 +139,11 @@ class ExchangeCalculation:
         return results
 
     # ------------------------------------------------------------------
-    def _intersite_gf(self, a_b, b_b, emesh):
+    def _intersite_gf(self, a_b, b_b, emesh, mu=None):
         """Gij/Gji spin components per pair: returns two dicts of
-        (njij, 9, 9, NE) arrays keyed by ('n','x','y','z')."""
+        (njij, 9, 9, NE) arrays keyed by ('n','x','y','z').  With
+        ``mu`` given, chains are reconstructed by KPM instead of the
+        matrix continued fraction."""
         cfg = self.cfg
         njij = len(self.pairs)
         ne = emesh.npts
@@ -131,14 +156,23 @@ class ExchangeCalculation:
         self.gji_full = np.zeros((njij, 18, 18, ne), np.complex128)
         for p, (i, j) in enumerate(self.pairs):
             sl = slice(4 * p, 4 * p + 4)
-            a4 = a_b[:, sl]
-            b4 = b_b[:, sl]
-            a_inf, b_inf = get_terminf(a4, b4)
-            g4 = np.stack([
-                bgreen(a4[:, n], b4[:, n], a_inf[n], b_inf[n], emesh.ene,
-                       sym_term=cfg.control.sym_term)
-                for n in range(4)
-            ])  # (4, 18, 18, NE)
+            if mu is not None:
+                from ..ops.chebyshev import chebyshev_green
+
+                g4 = np.stack([
+                    chebyshev_green(mu[:, 4 * p + n], emesh.ene,
+                                    emesh.energy_min, emesh.energy_max)
+                    for n in range(4)
+                ])
+            else:
+                a4 = a_b[:, sl]
+                b4 = b_b[:, sl]
+                a_inf, b_inf = get_terminf(a4, b4)
+                g4 = np.stack([
+                    bgreen(a4[:, n], b4[:, n], a_inf[n], b_inf[n],
+                           emesh.ene, sym_term=cfg.control.sym_term)
+                    for n in range(4)
+                ])  # (4, 18, 18, NE)
             if i == j:
                 gij = g4[0]
                 gji = g4[0]
@@ -362,6 +396,92 @@ class ExchangeCalculation:
         with open(os.path.join(self.workdir, "jijk.out"), "w") as fh:
             fh.writelines(out_rows)
         return results
+
+    # ------------------------------------------------------------------
+    def calculate_jij_auxgreen(self):
+        """Jij tensor from auxiliary Green functions (``exchange.f90
+        calculate_jij_auxgreen`` :140-336): aux G = delta_i G delta_j,
+        DeltaP = P_up - P_dw from the LMTO potential functions; the
+        9-component angle tensor for i != j, and the on-site J0 sum rule
+        for i == j.  Writes jij_aux.out; returns (njij, 9) in mRy
+        (column 0 holds J0 for i == j rows).  Requires run()."""
+        import os
+
+        cl = self.sys.cluster
+        emesh = EnergyMesh.build(self.cfg.energy)
+        ene = emesh.ene
+        hp = 0.5 * np.pi
+        ang = np.array([
+            [hp, hp, 0, 0], [hp, hp, 0, hp], [hp, 0, 0, 0],
+            [hp, hp, hp, 0], [hp, hp, hp, hp], [hp, 0, hp, 0],
+            [0, hp, 0, 0], [0, hp, 0, hp], [0, 0, 0, 0],
+        ])
+        K = 9
+        out = np.zeros((len(self.pairs), 9))
+        rows = []
+        for p, (i, j) in enumerate(self.pairs):
+            it = int(cl.iz[i]) - 1
+            jt = int(cl.iz[j]) - 1
+            pot_i = self.sys.atoms[it].potential
+            pot_j = self.sys.atoms[jt].potential
+            pm_i = p_matrix(pot_i, 2, ene)  # (NE, 18) diagonal
+            pm_j = p_matrix(pot_j, 2, ene)
+            dp_i = pm_i[:, :K] - pm_i[:, K:]  # (NE, 9)
+            dp_j = pm_j[:, :K] - pm_j[:, K:]
+
+            def aux(g, pa, pb):
+                da = np.concatenate([np.repeat(pa.dele[:, s], [1, 3, 5])
+                                     for s in (0, 1)])
+                db = np.concatenate([np.repeat(pb.dele[:, s], [1, 3, 5])
+                                     for s in (0, 1)])
+                return (g.transpose(2, 0, 1) * da[None, :, None]
+                        * db[None, None, :])
+
+            gij = aux(self.gij_full[p], pot_i, pot_j)  # (NE, 18, 18)
+            gji = aux(self.gji_full[p], pot_j, pot_i)
+            uu = slice(0, K)
+            dd = slice(K, 2 * K)
+            t1 = dp_i[:, :, None] * gij[:, uu, uu]
+            t2 = dp_j[:, :, None] * gji[:, dd, dd]
+            t4 = dp_j[:, :, None] * gji[:, uu, uu]
+            if i != j:
+                t3 = dp_i[:, :, None] * gij[:, dd, dd]
+                m14 = np.matmul(t1, t4)
+                m34 = np.matmul(t3, t4)
+                m12 = np.matmul(t1, t2)
+                m32 = np.matmul(t3, t2)
+                for k in range(9):
+                    th, thp, ph, php = ang[k]
+                    cc = np.cos(th) * np.cos(thp)
+                    ssp = np.sin(th) * np.sin(thp) * np.exp(
+                        1j * (php - ph))
+                    ssm = np.sin(th) * np.sin(thp) * np.exp(
+                        1j * (ph - php))
+                    tot = cc * m14 + ssp * m34 + ssm * m12 + cc * m32
+                    y = 0.5 * np.trace(tot, axis1=1, axis2=2).imag
+                    out[p, k] = simpson_f_fermi(y, ene, emesh.fermi,
+                                                emesh.nv1)
+            else:
+                t3 = dp_i[:, :, None] * (gij[:, uu, uu] - gji[:, dd, dd])
+                y = -np.trace(np.matmul(t1, t2) + t3,
+                              axis1=1, axis2=2).imag
+                out[p, 0] = simpson_f_fermi(y, ene, emesh.fermi,
+                                            emesh.nv1)
+            out[p] *= 1.0e3 / 4.0 / np.pi
+            rij = cl.cr[j] - cl.cr[i]
+            rows.append(f"{it + 1:8d}{jt + 1:8d}  "
+                        + "".join(f"{v:12.6f}" for v in rij) + "  "
+                        + "".join(f"{v:14.9f}" for v in out[p]) + "\n")
+            if i != j:
+                g_logger.info(
+                    f"Jij_aux pair ({i+1},{j+1}) zz: {out[p, 8]:.6f} mRy,"
+                    f" Dij_zz_aux: {0.5 * (out[p, 1] - out[p, 3]):.6f}"
+                )
+            else:
+                g_logger.info(f"J0_aux atom {i+1}: {out[p, 0]:.6f} mRy")
+        with open(os.path.join(self.workdir, "jij_aux.out"), "w") as fh:
+            fh.writelines(rows)
+        return out
 
     # ------------------------------------------------------------------
     def run_gauss_legendre(self):

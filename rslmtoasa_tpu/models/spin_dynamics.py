@@ -146,16 +146,36 @@ class SpinDynamics:
             self.scf.run()
             field = -magnetic_torques(sys.atoms, iz_rec)
             mom_in = mom_prev.copy()
-            # Euler LLG predictor (asd_pred_euler)
             emom = np.zeros((3, na))
-            for i in range(na):
-                m = mom_in[:, i]
-                t1 = -GAMA * np.cross(m, field[:, i])
-                t2 = -p.alpha * GAMA * np.cross(m, np.cross(m, field[:, i]))
-                dm = t1 + t2
-                m_new = m + p.dt * dm
-                sys.atoms[iz_rec[i]].potential.mom0 = m_new
-                emom[:, i] = m_new / np.linalg.norm(m_new)
+            if p.integrator == "depondt":
+                # Depondt-Mertens rotation predictor-corrector
+                # (abspinlib/depondt.f90; norm-preserving by
+                # construction).  The effective field is the SCF field
+                # of this step for both stages.
+                mmom = np.linalg.norm(mom_in, axis=0)
+                e_in = mom_in / mmom[None, :]
+                e_pred, b2eff, _ = depondt_evolve_first(
+                    p.alpha, field, e_in, mmom, p.dt, p.sd_temp,
+                    self.rng,
+                )
+                emom = depondt_evolve_second(
+                    p.alpha, field, b2eff, e_pred, p.dt
+                )
+                for i in range(na):
+                    sys.atoms[iz_rec[i]].potential.mom0 = \
+                        emom[:, i] * mmom[i]
+            else:
+                # Euler LLG predictor (asd_pred_euler :353-380)
+                for i in range(na):
+                    m = mom_in[:, i]
+                    t1 = -GAMA * np.cross(m, field[:, i])
+                    t2 = -p.alpha * GAMA * np.cross(
+                        m, np.cross(m, field[:, i])
+                    )
+                    dm = t1 + t2
+                    m_new = m + p.dt * dm
+                    sys.atoms[iz_rec[i]].potential.mom0 = m_new
+                    emom[:, i] = m_new / np.linalg.norm(m_new)
             for i in range(na):
                 sys.atoms[iz_rec[i]].potential.mom = emom[:, i]
                 mom_prev[:, i] = sys.atoms[iz_rec[i]].potential.mom0

@@ -135,3 +135,36 @@ def rowsharded_spmv_step(
         return jax.lax.fori_loop(0, cols_loc.shape[1], body, acc0)
 
     return _step_repl_h(hs, iz, cols, psi)
+
+
+def block_lanczos_sharded(
+    mesh: Mesh,
+    hs: jnp.ndarray,
+    lsham: jnp.ndarray,
+    iz: jnp.ndarray,
+    cols: jnp.ndarray,
+    psi0: jnp.ndarray,
+    lld: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chain-sharded BLOCK recursion: the R axis (one 18-wide chain per
+    rec atom / exchange pair) is the distribution axis; Hamiltonian
+    tables replicate.  This is the production nsp>=2 layout — the MPI
+    nrec/njij partitions of ``recursion.f90 recur_b``/``recur_b_ij``
+    as a pjit sharding."""
+    from ..ops.block_lanczos import block_lanczos
+
+    rep = NamedSharding(mesh, P())
+    r_shard = NamedSharding(mesh, P("chains"))
+    fn = jax.jit(
+        partial(block_lanczos, lld=lld),
+        in_shardings=(rep, rep, rep, rep, r_shard),
+        out_shardings=(
+            NamedSharding(mesh, P(None, "chains")),
+            NamedSharding(mesh, P(None, "chains")),
+        ),
+    )
+    return fn(
+        jax.device_put(hs, rep), jax.device_put(lsham, rep),
+        jax.device_put(iz, rep), jax.device_put(cols, rep),
+        jax.device_put(psi0, r_shard),
+    )

@@ -24,6 +24,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..atoms.potential import SymbolicAtom
+from ..utils.alloc import g_alloc
 from ..geometry.cluster import Cluster, EPS_VEC
 from .harmonics import cart2sph, L_X, L_Y, L_Z
 
@@ -304,4 +305,12 @@ def build_bulkham(
         hb.eeoee = eeoee
     if cl.nmax > 0:
         _attach_locham(hb, cl, atoms, sbars, sbarvecs, hoh)
+    g_alloc.release("hamiltonian.ee")
+    g_alloc.track("hamiltonian.ee", hb.ee)
+    if hb.eeo is not None:
+        g_alloc.release("hamiltonian.eeo")
+        g_alloc.track("hamiltonian.eeo", hb.eeo)
+    if hb.hall is not None:
+        g_alloc.release("hamiltonian.hall")
+        g_alloc.track("hamiltonian.hall", hb.hall)
     return hb

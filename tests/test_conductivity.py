@@ -112,6 +112,10 @@ def test_conductivity_pipeline_outputs(tmp_path):
     assert mu.shape[2] == 8 and np.all(np.isfinite(mu))
     out = os.path.join(str(tmp_path), "cond_total.out")
     assert os.path.exists(out)
+    for extra in ("cond_total_orb_real.out", "cond_total_orb_im.out",
+                  "X_cond_orb_real.out"):
+        dat_o = np.loadtxt(os.path.join(str(tmp_path), extra))
+        assert dat_o.shape[1] == 19 and np.all(np.isfinite(dat_o))
     dat = np.loadtxt(out)
     assert dat.shape[1] == 3 and np.all(np.isfinite(dat))
     # cumulative integral: flat before the band, monotone build-up region

@@ -182,3 +182,50 @@ def test_jijk_trio(reference_dir):
     assert os.path.exists(os.path.join(wd, "jijk.out"))
     # at least one in-plane component nonzero at meaningful scale
     assert np.abs(res[0]).max() > 1e-8
+
+
+def test_chebyshev_pair_exchange(reference_dir):
+    """Chebyshev pair recursion (chebyshev_recur_ij path) reproduces the
+    block-recursion nn Jij within the KPM broadening tolerance."""
+    import tempfile
+
+    from rslmtoasa_tpu.config import JobConfig
+    from rslmtoasa_tpu.models.bulk import BulkSystem
+
+    cfg = JobConfig.from_file(
+        str(reference_dir / "example/exchange/bccFe/input.nml")
+    )
+    cfg.atoms.database = str(reference_dir / "example/exchange/bccFe")
+    cfg.control.nsp = 2
+    cfg.control.recur = "chebyshev"
+    cfg.control.lld = 150
+    cfg.scf.nstep = 1
+    cfg.hamiltonian.hoh = False
+    wd = tempfile.mkdtemp(prefix="rslmto_xc_ch_")
+    sys_ = BulkSystem.build(cfg, wd)
+    pairs = np.asarray(cfg.lattice.ijpair)[:2]
+    xc = ExchangeCalculation(sys_, pairs, wd)
+    res = xc.run()
+    # block-recursion values for the same two pairs (computed with the
+    # continued-fraction path, itself validated against the stored
+    # postproc reference): 0.718 and 0.485 mRy.  KPM at lld=150 agrees
+    # within its kernel broadening (~15%).
+    for got, ref_v in zip((res[0]["jij"], res[1]["jij"]),
+                          (0.718, 0.4853)):
+        assert 0.8 < got / ref_v < 1.2, (got, ref_v)
+
+
+def test_jij_auxgreen(exchange_run):
+    """Auxiliary-GF Jij: the zz tensor element must agree with the LKAG
+    Jij for the nn pair within the representation difference (the aux
+    route uses the energy-dependent potential-function DeltaP instead of
+    the d-matrix), and J0 (i == j) must be positive for a ferromagnet
+    (stability sum rule)."""
+    wd, xc = exchange_run
+    out = xc.calculate_jij_auxgreen()
+    assert np.all(np.isfinite(out))
+    ra = np.loadtxt(os.path.join(wd, "jij.out"))
+    # nn pair: same sign, same magnitude scale as LKAG
+    assert out[1, 8] * ra[1, 5] > 0
+    assert 0.3 < abs(out[1, 8] / ra[1, 5]) < 3.0
+    assert os.path.exists(os.path.join(wd, "jij_aux.out"))

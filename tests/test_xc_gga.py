@@ -91,3 +91,39 @@ def test_hyperfine_fe(reference_dir):
     assert h is not None and np.all(np.isfinite(h))
     assert h[0] < 0 and h[1] < 0
     assert -45.0 < h.sum() < -20.0
+
+
+def test_spin_dynamics_smoke(reference_dir):
+    """SD loop smoke on bcc Fe: both integrators advance moments, keep
+    them unit-normalised, and stream a LAMMPS trajectory."""
+    import os
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from rslmtoasa_tpu.config import JobConfig
+    from rslmtoasa_tpu.models.bulk import BulkSystem
+    from rslmtoasa_tpu.models.spin_dynamics import SpinDynamics
+
+    case = reference_dir / "tests/regression/bccFe_lanczos"
+    for integ in ("euler", "depondt"):
+        cfg = JobConfig.from_file(str(case / "input.nml"))
+        cfg.atoms.database = str(case)
+        cfg.control.nsp = 2
+        cfg.control.recur = "block"
+        cfg.control.lld = 8
+        cfg.energy.channels_ldos = 300
+        cfg.scf.nstep = 1
+        wd = tempfile.mkdtemp()
+        sys_ = BulkSystem.build(cfg, wd)
+        sd = SpinDynamics(sys_, wd)
+        sd.params.asd_step = 2
+        sd.params.integrator = integ
+        sd.params.dt = 1.0e-17
+        mom = sd.run()
+        assert np.all(np.isfinite(mom))
+        assert os.path.exists(os.path.join(wd, "output.lammpstrj"))
+        e = np.array(sys_.atoms[0].potential.mom)
+        assert abs(np.linalg.norm(e) - 1.0) < 1e-8, integ
