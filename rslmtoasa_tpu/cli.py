@@ -46,6 +46,22 @@ def parse_args(argv):
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    # RSLMTO_PROFILE=<dir> captures a jax.profiler trace of the whole run
+    # (the TPU-native analogue of the reference's timer tree; view with
+    # tensorboard or xprof)
+    prof_dir = os.environ.get("RSLMTO_PROFILE")
+    if prof_dir:
+        import jax
+
+        jax.profiler.start_trace(prof_dir)
+        try:
+            return _main_inner(argv)
+        finally:
+            jax.profiler.stop_trace()
+    return _main_inner(argv)
+
+
+def _main_inner(argv) -> int:
     input_file, extra, outdir = parse_args(argv)
     if not os.path.exists(input_file):
         g_logger.error(f"input file {input_file} not found")

@@ -257,6 +257,22 @@ class ExchangeCalculation:
 
     # ------------------------------------------------------------------
     def _write_outputs(self, results: List[dict]):
+        # jtens.out: J on the diagonal, DMI skew, Aij full tensor
+        # (calculate_exchange :1581-1599; the reference prints the
+        # tensor to stdout and leaves the opened jtens.out empty --
+        # here the documented tensor goes into the file)
+        with open(os.path.join(self.workdir, "jtens.out"), "w") as f60:
+            for r in results:
+                jt = np.eye(3) * r["jij"]
+                d = r["dmi"]
+                jt += np.array([[0, d[2], -d[1]],
+                                [-d[2], 0, d[0]],
+                                [d[1], -d[0], 0]])
+                jt += r["aij"]
+                f60.write(f"{r['iz_i']:8d}{r['iz_j']:8d}  " + "".join(
+                    f"{x:12.6f}" for x in r["rij"]) + "  " + "".join(
+                    f"{v:12.6f}" for v in jt.ravel())
+                    + f" {r['dist']:12.6f}\n")
         with open(os.path.join(self.workdir, "jij.out"), "w") as f20, \
                 open(os.path.join(self.workdir, "dij.out"), "w") as f30, \
                 open(os.path.join(self.workdir, "aij.out"), "w") as f40:

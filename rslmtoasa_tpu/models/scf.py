@@ -387,11 +387,27 @@ class SelfConsistency:
     # ------------------------------------------------------------------
     def _write_totaldos(self, bands: Bands, emesh: EnergyMesh,
                         fermi: float):
+        """totaldos.out plus the per-atom LDOS files <El>_dos.out and
+        <El>_orbital_dos.out (calculate_fermi :279-324), all with the
+        pre-search Fermi level."""
         path = os.path.join(self.workdir, "totaldos.out")
         with open(path, "w") as fh:
             for i in range(emesh.npts):
                 fh.write(f"{emesh.ene[i] - fermi:16.5f}"
                          f"{bands.dtot[i]:16.5f}\n")
+        for ia, isp in enumerate(self.iz_rec):
+            sym = self.sys.atoms[isp].element.symbol
+            with open(os.path.join(self.workdir, sym + "_dos.out"),
+                      "w") as fh:
+                for i in range(emesh.npts):
+                    fh.write(f"{emesh.ene[i] - fermi:16.5f}"
+                             f"{bands.dosia[ia, i]:16.5f}\n")
+            with open(os.path.join(self.workdir,
+                                   sym + "_orbital_dos.out"), "w") as fh:
+                for i in range(emesh.npts):
+                    fh.write(f"{emesh.ene[i] - fermi:16.5f}" + "".join(
+                        f"{bands.dosial[ia, l, i]:16.5f}"
+                        for l in range(18)) + "\n")
 
     # ------------------------------------------------------------------
     def save_checkpoints(self):
