@@ -30,7 +30,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -135,7 +135,7 @@ def rowsharded_spmv_step(
 
         acc0 = jnp.zeros((cols_loc.shape[0],) + psi_loc.shape[1:],
                          dtype=psi_loc.dtype)
-        acc0 = jax.lax.pvary(acc0, (rows_axis,))
+        acc0 = jax.lax.pcast(acc0, (rows_axis,), to="varying")
         return jax.lax.fori_loop(0, cols_loc.shape[1], body, acc0)
 
     return _step_repl_h(hs, iz, cols, psi)
@@ -160,7 +160,7 @@ def _ring_spmv(hs_all, iz_loc, cols_loc, psi_loc, rows_axis: str,
     perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
 
     acc = jnp.zeros((kk_loc,) + psi_loc.shape[1:], dtype=psi_loc.dtype)
-    acc = jax.lax.pvary(acc, (rows_axis,))
+    acc = jax.lax.pcast(acc, (rows_axis,), to="varying")
     buf = psi_loc
     for t in range(n_shards):
         src = jax.lax.rem(r + t, jnp.int32(n_shards))
@@ -264,8 +264,9 @@ def lanczos_rowsharded(
             pmn_new = -psi * s[None, None, :]
             return (psi_new, pmn_new, summ), (a_ll, b2_ll)
 
-        pmn0 = jax.lax.pvary(
-            jnp.zeros((kk_loc, b, c), dtype=psi0_loc.dtype), (rows_axis,)
+        pmn0 = jax.lax.pcast(
+            jnp.zeros((kk_loc, b, c), dtype=psi0_loc.dtype), (rows_axis,),
+            to="varying",
         )
         summ0 = jnp.ones((c,), dtype=jnp.real(psi0_loc).dtype)
         (_, _, summ), (a, b2) = jax.lax.scan(

@@ -151,6 +151,23 @@ def test_gauss_legendre_exchange(exchange_run):
     assert 0.2 < gl[1, 5] / ra[1, 5] < 5.0
 
 
+def _small_cfg(reference_dir):
+    """Reduced bcc Fe cluster (rc 30 instead of 80) for engine
+    cross-checks that don't compare against the stored big-cluster
+    reference values."""
+    cfg = JobConfig.from_file(
+        str(reference_dir / "example/exchange/bccFe/input.nml")
+    )
+    cfg.atoms.database = str(reference_dir / "example/exchange/bccFe")
+    cfg.control.nsp = 2
+    cfg.control.recur = "block"
+    cfg.scf.nstep = 1
+    cfg.hamiltonian.hoh = False
+    cfg.lattice.rc = 30.0
+    cfg.lattice.ndim = 4000
+    return cfg
+
+
 def test_jijk_trio(reference_dir):
     """Spin-lattice Jijk smoke: trio (center, nn, nn) on bcc Fe with z
     displacement.  Internal checks: finite tensor, and the zz component
@@ -158,18 +175,8 @@ def test_jijk_trio(reference_dir):
     z moments since the T_z-like combinations vanish)."""
     import tempfile
 
-    from rslmtoasa_tpu.config import JobConfig
-    from rslmtoasa_tpu.models.bulk import BulkSystem
-
-    cfg = JobConfig.from_file(
-        str(reference_dir / "example/exchange/bccFe/input.nml")
-    )
-    cfg.atoms.database = str(reference_dir / "example/exchange/bccFe")
-    cfg.control.nsp = 2
-    cfg.control.recur = "block"
+    cfg = _small_cfg(reference_dir)
     cfg.control.lld = 12
-    cfg.scf.nstep = 1
-    cfg.hamiltonian.hoh = False
     wd = tempfile.mkdtemp(prefix="rslmto_jijk_")
     sys_ = BulkSystem.build(cfg, wd)
     trio = np.array([[1.0, 2.0, 3.0, 0.0, 0.0, 1.0]])
@@ -186,32 +193,39 @@ def test_jijk_trio(reference_dir):
 
 def test_chebyshev_pair_exchange(reference_dir):
     """Chebyshev pair recursion (chebyshev_recur_ij path) reproduces the
-    block-recursion nn Jij within the KPM broadening tolerance."""
+    block-recursion Jij within the KPM broadening tolerance.
+
+    Engine cross-check on a shared reduced cluster (the stored-reference
+    parity of the block engine itself is test_jij_values); nn and 2nn
+    pairs of the central atom.
+    """
     import tempfile
 
-    from rslmtoasa_tpu.config import JobConfig
-    from rslmtoasa_tpu.models.bulk import BulkSystem
-
-    cfg = JobConfig.from_file(
-        str(reference_dir / "example/exchange/bccFe/input.nml")
-    )
-    cfg.atoms.database = str(reference_dir / "example/exchange/bccFe")
-    cfg.control.nsp = 2
-    cfg.control.recur = "chebyshev"
-    cfg.control.lld = 150
-    cfg.scf.nstep = 1
-    cfg.hamiltonian.hoh = False
+    cfg = _small_cfg(reference_dir)
     wd = tempfile.mkdtemp(prefix="rslmto_xc_ch_")
     sys_ = BulkSystem.build(cfg, wd)
-    pairs = np.asarray(cfg.lattice.ijpair)[:2]
-    xc = ExchangeCalculation(sys_, pairs, wd)
-    res = xc.run()
-    # block-recursion values for the same two pairs (computed with the
-    # continued-fraction path, itself validated against the stored
-    # postproc reference): 0.718 and 0.485 mRy.  KPM at lld=150 agrees
-    # within its kernel broadening (~15%).
-    for got, ref_v in zip((res[0]["jij"], res[1]["jij"]),
-                          (0.718, 0.4853)):
+    # nn and 2nn of atom 1 by distance on this cluster
+    cl = sys_.cluster
+    d = np.linalg.norm(cl.cr_ang - cl.cr_ang[0], axis=1)
+    order = np.argsort(d)
+    dd = np.unique(np.round(d[order], 6))
+    i_nn = int(order[np.argmax(np.isclose(d[order], dd[1]))])
+    i_2nn = int(order[np.argmax(np.isclose(d[order], dd[2]))])
+    pairs = np.asarray([[1, i_nn + 1], [1, i_2nn + 1]])
+
+    cfg.control.recur = "block"
+    cfg.control.lld = 20
+    xc_b = ExchangeCalculation(sys_, pairs, wd)
+    res_b = xc_b.run()
+
+    cfg.control.recur = "chebyshev"
+    cfg.control.lld = 120
+    xc_c = ExchangeCalculation(sys_, pairs, wd)
+    res_c = xc_c.run()
+    # KPM at lld=120 agrees with the continued-fraction block path
+    # within its kernel broadening (~20%)
+    for got, ref_v in zip((res_c[0]["jij"], res_c[1]["jij"]),
+                          (res_b[0]["jij"], res_b[1]["jij"])):
         assert 0.8 < got / ref_v < 1.2, (got, ref_v)
 
 
