@@ -71,8 +71,15 @@ def _main_inner(argv) -> int:
         nml.merge(read_namelists(path))
     cfg = JobConfig.from_namelists(nml, fname=input_file)
     os.makedirs(outdir, exist_ok=True)
-    workdir = outdir
+    if cfg.atoms.database in ("", "./", "."):
+        cfg.atoms.database = os.path.dirname(os.path.abspath(input_file))
+    return run_calculation(cfg, outdir)
 
+
+def run_calculation(cfg: JobConfig, workdir: str = ".") -> int:
+    """Run the full dispatched pipeline for a built config (the body of
+    ``calculation%process``, calculation.f90:175-211).  Shared by the CLI
+    and the parity test harness so tests exercise the product path."""
     pre = (cfg.calculation.pre_processing or "none").strip()
     proc = (cfg.calculation.processing or "none").strip()
     post = (cfg.calculation.post_processing or "none").strip()
@@ -83,9 +90,8 @@ def _main_inner(argv) -> int:
 
     from .models.bulk import BulkSystem
 
-    if cfg.atoms.database in ("", "./", "."):
-        cfg.atoms.database = os.path.dirname(os.path.abspath(input_file))
-
+    input_file = cfg.control.fname or "input.nml"
+    os.makedirs(workdir, exist_ok=True)
     sys_ = BulkSystem.build(cfg, workdir)
 
     if post in ("paoflow2rs", "exchange_p2rs", "conductivity_p2rs"):

@@ -20,10 +20,54 @@ class PrimitiveCell:
     izp: np.ndarray  # (ntot,) type index, 1-based
     no: np.ndarray  # (ntot,) bravais-site index, 1-based
     ntot: int
+    # optional bookkeeping from a user lattice.nml (crystal_sym='file')
+    iu: "np.ndarray | None" = None  # 1-based representatives
+    ib: "np.ndarray | None" = None
+    irec: "np.ndarray | None" = None
+    nrec: int = 0
+    nbas: int = 0
 
 
-def primitive_cell(crystal_sym: str, celldm: float = 0.0) -> PrimitiveCell:
+def primitive_cell_from_file(path: str) -> PrimitiveCell:
+    """General user cell from a ``lattice.nml`` sidecar file
+    (``lattice%build_from_lattice``, reference ``lattice.f90:660-725``,
+    selected by ``crystal_sym='file'`` :925-927).  The namelist provides
+    the primitive vectors ``a``, basis ``crd`` and the full type/site
+    bookkeeping (izp, no, iu, ib, irec, ntot, nbas, nrec)."""
+    from ..utils.namelist import read_namelists
+
+    nml = read_namelists(path)
+    g = nml.get("lattice")
+    if g is None:
+        raise ValueError(f"{path} has no &lattice group")
+    ntot = int(g.get_scalar("ntot"))
+    nbas = int(g.get_scalar("nbas", ntot))
+    nrec = int(g.get_scalar("nrec", ntot))
+    a = np.zeros((3, 3))
+    g.fill_array("a", a)
+    crd = np.zeros((3, ntot))
+    g.fill_array("crd", crd)
+
+    def ivec(name, n, default):
+        v = np.array(default, dtype=np.float64)
+        if g.has(name):
+            g.fill_array(name, v)
+        return v.astype(np.int64)
+
+    izp = ivec("izp", ntot, np.arange(1, ntot + 1))
+    no = ivec("no", ntot, np.arange(1, ntot + 1))
+    iu = ivec("iu", ntot, np.arange(1, ntot + 1))
+    ib = ivec("ib", ntot, np.arange(1, ntot + 1))
+    irec = ivec("irec", nrec, np.arange(1, nrec + 1))
+    return PrimitiveCell(a=a, crd=crd, izp=izp, no=no, ntot=ntot,
+                         iu=iu, ib=ib, irec=irec, nrec=nrec, nbas=nbas)
+
+
+def primitive_cell(crystal_sym: str, celldm: float = 0.0,
+                   lattice_file: str = "lattice.nml") -> PrimitiveCell:
     sym = crystal_sym.lower()
+    if sym == "file":
+        return primitive_cell_from_file(lattice_file)
     if sym == "bcc":
         a = np.array([[-0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0.5, 0.5, -0.5]]).T
         crd = np.zeros((3, 1))

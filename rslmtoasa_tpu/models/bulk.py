@@ -59,7 +59,14 @@ class BulkSystem:
         if lat.r2 == 0.0:
             lat.r2 = float(lat.ct[0]) ** 2
         with g_timer.section("geometry"):
-            cell = primitive_cell(lat.crystal_sym, lat.celldm)
+            # crystal_sym='file' reads the general user cell from a
+            # lattice.nml sidecar next to the input file (build_data
+            # 'file' branch, lattice.f90:925 -> build_from_lattice :660)
+            lattice_file = os.path.join(
+                os.path.dirname(os.path.abspath(cfg.control.fname or ".")),
+                "lattice.nml")
+            cell = primitive_cell(lat.crystal_sym, lat.celldm,
+                                  lattice_file=lattice_file)
             cl = bravais_cluster(
                 cell,
                 alat=lat.alat,
@@ -73,6 +80,15 @@ class BulkSystem:
                 pbc_wrap=(bool(lat.b1), bool(lat.b2), bool(lat.b3)),
             )
             cl._ct1 = float(lat.ct[0])
+            if cell.iu is not None and cfg.control.calctype == "B":
+                # bookkeeping straight from the user lattice.nml
+                cl.iu = cell.iu.copy()
+                cl.ib = cell.ib.copy()
+                cl.irec = cell.irec.copy()
+                cl.nrec = cell.nrec
+                cl.atlist = np.concatenate([cl.ib, cl.irec]) \
+                    if cl.nbulk else cl.irec.copy()
+                cl.ntype = max(cl.ntype, int(cl.iz.max()))
             pre = (cfg.calculation.pre_processing or "").strip()
             if pre == "newclusurf":
                 # impurity embedded in a surface slab

@@ -451,6 +451,11 @@ class SelfConsistency:
                 "xi_p": pot.xi_p,
                 "xi_d": pot.xi_d,
             })
-            path = os.path.join(self.workdir, f"{at.label}_out.nml")
+            # checkpoints are named by SYMBOL, not label (print_state_
+            # formatted, symbolic_atom.f90:799-806): an impurity whose
+            # element file sets symbol='Fe' overwrites the host Fe_out.nml
+            # — the reference's impurity refs rely on this
+            sym = el.symbol if el.symbol else at.label
+            path = os.path.join(self.workdir, f"{sym}_out.nml")
             with open(path, "w") as fh:
                 fh.write(out)
