@@ -257,9 +257,12 @@ class ConductivityCalculation:
             jvb = jnp.asarray(v_b)
             d = 18
             itemsize = 16
-        # bound the stored left block to ~1 GB
+        # bound the stored left block: each right-chain replay costs a
+        # full cond_ll of H SpMVs, so make the block as large as memory
+        # allows (host RAM on CPU, HBM headroom on TPU)
+        budget = (4 << 30) if realified else (24 << 30)
         per_vec = cl.kk * d * d * itemsize
-        block_size = int(min(cond_ll, max(8, (1 << 30) // per_vec)))
+        block_size = int(min(cond_ll, max(8, budget // per_vec)))
         jiz = jnp.asarray(iz)
         jcols = jnp.asarray(cols)
         mu = np.zeros((18, 18, cond_ll, cond_ll, ntype), np.complex128)

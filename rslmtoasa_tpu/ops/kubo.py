@@ -4,8 +4,9 @@ Computes mu_nm = <r| T_m(H~) v_a T_n(H~) v_b |r> (the moment matrix of
 ``recursion.f90 compute_moments_stochastic`` :979-1234) with bounded
 memory: instead of materialising all N left vectors T_m|r> (O(N kk 18^2),
 tens of GB at production cond_ll), the left chain is generated in blocks
-of ``block_size`` and a full right chain is replayed per block inside a
-``lax.scan``.  Work: N + (N/Mb) N block SpMVs; memory: Mb kk 18^2.
+of ``block_size`` (with v_a folded in — v_a is Hermitian) and a full
+right chain is replayed per block inside a ``lax.scan``.
+Work: 2N + (N/Mb) N block SpMVs; memory: Mb kk 18^2.
 
 Every inner step is two batched 18x18 block matmuls (SpMV + the
 left-block contraction) - MXU-shaped work.  Dtype follows the inputs:
@@ -57,7 +58,11 @@ def kubo_moments(blocks, lsham, iz, cols, va, vb, psi0, *,
     nblocks = (n_moments + block_size - 1) // block_size
 
     def left_block(carry, _):
-        # emit the next block_size left vectors, carrying (m, w0, w1)
+        # emit the next block_size left vectors v_a T_m|r>, carrying
+        # (m, w0, w1).  v_a is Hermitian (v = -i (d.r_ij) H_ij flips
+        # sign under i<->j exactly as H^H restores), so folding it into
+        # the stored left vectors removes one SpMV per right-chain step:
+        #   mu[n, m] = <T_m r| v_a T_n v_b r> = <(v_a T_m r)| T_n v_b r>.
         m, w0, w1 = carry
 
         def one(c, _):
@@ -65,7 +70,7 @@ def kubo_moments(blocks, lsham, iz, cols, va, vb, psi0, *,
             w2 = jnp.where(m == 0, w1,
                            jnp.where(m == 1, apply_h(w1),
                                      2.0 * apply_h(w1) - w0))
-            return (m + 1, jnp.where(m == 0, w0, w1), w2), w2
+            return (m + 1, jnp.where(m == 0, w0, w1), w2), apply_va(w2)
 
         (m, w0, w1), blk = jax.lax.scan(one, (m, w0, w1), None,
                                         length=block_size)
@@ -80,8 +85,7 @@ def kubo_moments(blocks, lsham, iz, cols, va, vb, psi0, *,
             v2 = jnp.where(n == 0, v1,
                            jnp.where(n == 1, apply_h(v1),
                                      2.0 * apply_h(v1) - vprev))
-            right = apply_va(v2)
-            mu_n = jnp.einsum("mkba,kbc->mac", lblk.conj(), right)
+            mu_n = jnp.einsum("mkba,kbc->mac", lblk.conj(), v2)
             return (n + 1, jnp.where(n == 0, vprev, v1), v2), mu_n
 
         _, mu = jax.lax.scan(
