@@ -41,7 +41,11 @@ import jax.numpy as jnp
 # ----------------------------------------------------------------------
 
 def two_sum(a, b):
-    """s + e == a + b exactly (Knuth, 6 flops, no magnitude assumption)."""
+    """s + e == a + b exactly (Knuth, 6 flops, no magnitude assumption).
+
+    FMA-safe: contains no multiplies, and LLVM's FP contraction (which
+    XLA's CPU backend applies even across ``optimization_barrier``) can
+    only fuse mul+add pairs."""
     s = a + b
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
@@ -49,25 +53,53 @@ def two_sum(a, b):
 
 
 def fast_two_sum(a, b):
-    """s + e == a + b exactly, REQUIRES |a| >= |b| (Dekker, 3 flops)."""
+    """s + e == a + b exactly, REQUIRES |a| >= |b| (Dekker, 3 flops).
+
+    When ``a`` is an upstream product the backend may contract ``a + b``
+    into fma(x, y, b); the returned pair then deviates from a + b by
+    O(ulp(b)) — second order in the df64 budget, harmless."""
     s = a + b
     e = b - (s - a)
     return s, e
 
 
+def _split12(x):
+    """Exact 12-bit mantissa split via bit masking: x == xh + xl with both
+    halves having <= 12 significant bits, so every cross product is exact
+    in f32.
+
+    Bit masking (not the Veltkamp multiply trick) because XLA's CPU
+    backend FMA-contracts ``x * 4097 - y`` chains — below HLO, where
+    ``optimization_barrier`` cannot reach — which silently destroys the
+    split and cost 2.5e-8 on Lanczos coefficients (vs 1e-13 now).
+    Integer ops are immune to FP contraction."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    xh = jax.lax.bitcast_convert_type(
+        xi & jnp.uint32(0xFFFFF000), jnp.float32)
+    return xh, x - xh
+
+
 def two_prod(a, b):
-    """p + e == a * b exactly (Veltkamp split; if XLA contracts a*b-p into
-    an FMA the result is identical and cheaper)."""
-    p = a * b
-    # Veltkamp splitting constant for f32: 2^12 + 1
-    ca = a * 4097.0
-    ah = ca - (ca - a)
-    al = a - ah
-    cb = b * 4097.0
-    bh = cb - (cb - b)
-    bl = b - bh
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, e
+    """p + e == a * b exactly, fully FMA-immune.
+
+    The classic ``e = ah*bh - p + ...`` form is UNSAFE here: LLVM may
+    contract ``x - p`` with ``p = a*b`` into fma(-a, b, x), which uses the
+    UNROUNDED product and collapses the error term to ~0 (observed: the
+    entire lo word vanished, 2.5e-8 Lanczos-coefficient error).  Instead
+    the product is assembled from the four exact partials with two_sum
+    chains: every multiply below is exactly representable in f32, so any
+    fma the backend forms is bit-identical to the two-op sequence, and
+    the adds cannot contract at all."""
+    ah, al = _split12(a)
+    bh, bl = _split12(b)
+    q_hh = ah * bh  # all four partials exact: 12-bit x 12-bit mantissas
+    q_hl = ah * bl
+    q_lh = al * bh
+    q_ll = al * bl
+    s, e1 = two_sum(q_hl, q_lh)
+    p, e2 = fast_two_sum(q_hh, s)
+    e = (e1 + e2) + q_ll
+    return fast_two_sum(p, e)
 
 
 # ----------------------------------------------------------------------
@@ -259,7 +291,11 @@ def extract_chunks(y, nchunks: int = DF64_CHUNKS):
     ``B_k = 1.5 * 2^(23-7(k+1))`` forces RN to the chunk grid, whose ulp
     inside that binade is exactly ``2^-7(k+1)``.
     """
-    hi, lo = y
+    # barrier the pair: if the producer fuses into this graph, XLA's
+    # excess-precision rewrites can distribute the *0.5/+magic across the
+    # producer's arithmetic and break the grid rounding (see
+    # stencil_conv._extract_chunks_chan)
+    hi, lo = jax.lax.optimization_barrier(y)
     r = hi * jnp.float32(0.5)  # exact pow2 scale; |r| <= 0.5
     w_lo = lo * jnp.float32(0.5)
     outs = []
