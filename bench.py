@@ -7,10 +7,14 @@ throughput in Gnnz/s (nonzero Hamiltonian matrix entries processed per
 second across all chains and recursion steps), compared against a
 single-core NumPy baseline of the identical computation.
 
-Runs the df64 engine (double-float arithmetic + exact-chunk bf16 GEMMs on
-the MXU, see rslmtoasa_tpu/ops/df64.py) — ~1e-13 agreement with the
-complex128 recursion, verified against the NumPy f64 baseline below at
-1e-8. The XLA-emulated f64 path (ops/lanczos.py) is the parity/test path.
+Runs the conv-stencil df64 engine (rslmtoasa_tpu/ops/stencil_conv.py):
+the neighbor-map SpMV expressed as ONE 3-D bucket convolution per step —
+gather-free, MXU-native — with double-float (df64) arithmetic for the
+recursion updates.  ~1e-13 agreement with the complex128 recursion,
+verified against the NumPy f64 baseline below at 1e-8.  The XLA-emulated
+f64 path (ops/lanczos.py) is the parity/test path; the gather-based ELL
+df64 engine (ops/lanczos_df64.py) is the fallback for clusters without a
+stencil embedding.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -33,14 +37,12 @@ def main():
     import jax.numpy as jnp
 
     from rslmtoasa_tpu.models.presets import build_synthetic_bcc
-    from rslmtoasa_tpu.ops import df64
-    from rslmtoasa_tpu.ops.lanczos import (
-        scalar_start_vectors,
-        split_vector,
-    )
-    from rslmtoasa_tpu.ops.lanczos_df64 import (
-        _lanczos_df64_jit,
-        pack_ham_df64,
+    from rslmtoasa_tpu.ops.lanczos import scalar_start_vectors, split_complex
+    from rslmtoasa_tpu.ops.stencil_conv import (
+        _lanczos_conv_df64_jit,
+        build_conv_stencil,
+        conv_start_vectors,
+        pack_conv_kernel_df64,
     )
 
     lld = 20
@@ -52,27 +54,29 @@ def main():
     kk = hb.kk
     nslots = hb.nslots
     n_start = 16
-    print(f"# cluster kk={kk} nslots={nslots} lld={lld} chains={9*n_start}",
+    st = build_conv_stencil(sys_.cluster)
+    print(f"# cluster kk={kk} nslots={nslots} lld={lld} chains={9*n_start} "
+          f"box dims={st.dims} occupancy={kk/np.prod(st.dims):.2f}",
           file=sys.stderr)
 
-    # both spin channels, 2 x 9 orbital chains per start atom; batch chains.
-    # split-complex + double-float representation (TPU v5e has no native
-    # C128/f64; the df64 engine runs bf16 exact-chunk GEMMs on the MXU)
+    # one spin channel, 9 orbital chains per start atom (split-complex
+    # 18x18 realified blocks); the SpMV is a single (C, 7*18, nx, ny, nz)
+    # x (7*18, 7*18, 3, 3, 3) bucket conv per step — all 49 df64
+    # chunk-pair GEMMs in one MXU-shaped convolution
     hs_np = np.asarray(hb.ee[:, :, :9, :9])
-    h_chunks_t, h_scale = pack_ham_df64(hs_np)
-    h_chunks = h_chunks_t[:, 0]  # single type
-    cols = jnp.asarray(hb.cols)
+    hs_split = np.asarray(split_complex(hs_np[0]))
+    w, h_scale, radius = pack_conv_kernel_df64(hs_split, st.dcells)
     starts = list(range(0, kk, max(1, kk // n_start)))[:n_start]
-    psi0_np = np.asarray(split_vector(scalar_start_vectors(kk, starts)),
-                         np.float64)
-    psi0_ds = df64.ds_from_f64(psi0_np)
-    c = psi0_np.shape[2]
+    psi0_ds = conv_start_vectors(st, starts, 18, orbitals=range(9))
+    c = psi0_ds[0].shape[0]
+    mask = jnp.asarray(st.mask)
 
     def fn(scale_jitter):
         # jitter keeps every repetition a distinct execution
-        return _lanczos_df64_jit(h_chunks, cols,
-                                 psi0_ds[0] * scale_jitter, psi0_ds[1],
-                                 jnp.float32(h_scale), lld, 7)
+        return _lanczos_conv_df64_jit(w, mask,
+                                      psi0_ds[0] * scale_jitter, psi0_ds[1],
+                                      jnp.float32(h_scale), lld, 7,
+                                      tuple(radius))
 
     # warmup/compile.  NOTE: on the axon backend block_until_ready does not
     # actually synchronise; a host readback of the result is the only

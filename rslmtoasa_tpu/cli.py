@@ -46,6 +46,11 @@ def parse_args(argv):
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    # multi-host bring-up (reference MPI_INIT, main.f90:26-49); no-op
+    # unless the JAX coordinator env vars are set
+    from .parallel.dispatch import init_distributed
+
+    init_distributed()
     # RSLMTO_PROFILE=<dir> captures a jax.profiler trace of the whole run
     # (the TPU-native analogue of the reference's timer tree; view with
     # tensorboard or xprof)

@@ -179,13 +179,11 @@ class BulkSystem:
                         lld,
                     )
                 else:
-                    a, b2 = lanczos_coefficients(
-                        jnp.asarray(blk),
-                        jnp.asarray(hb.iz),
-                        jnp.asarray(hb.cols),
-                        jnp.asarray(psi0),
-                        lld,
-                    )
+                    # chain-sharded over the mesh when >1 device (the MPI
+                    # atom partition analogue, mpi.f90:32-58)
+                    from ..parallel.dispatch import lanczos_auto
+
+                    a, b2 = lanczos_auto(blk, hb.iz, hb.cols, psi0, lld)
                 a_list.append(np.asarray(a))
                 b_list.append(np.asarray(b2))
         nrec = len(rec_atoms)
@@ -260,31 +258,17 @@ class BulkSystem:
                     np.concatenate(b_parts, axis=1))
         psi0 = block_start_vectors(cl.kk, rec_atoms)
         with g_timer.section("block-recursion"):
-            import jax
+            # dispatch: TPU realified engine / CPU complex128, chain-
+            # sharded over the mesh when >1 device (recur_b's MPI atom
+            # partition, recursion.f90:1816)
+            from ..parallel.dispatch import block_lanczos_auto
 
-            if jax.default_backend() != "cpu":
-                # no complex dtypes on the TPU backend: realified path
-                from ..ops.block_lanczos import block_lanczos_split
-
-                a_b, b2_b = block_lanczos_split(
-                    blocks, lsham, iz_rows, hb.cols, psi0, lld,
-                    hoh=hoh, hso=blocks_o if hoh else None,
-                    enim=hb.enim if hoh else None, iz_onsite=iz_sp,
-                )
-                return a_b, b2_b
-            a_b, b2_b = block_lanczos(
-                jnp.asarray(blocks),
-                jnp.asarray(lsham),
-                jnp.asarray(iz_rows),
-                jnp.asarray(hb.cols),
-                jnp.asarray(psi0),
-                lld,
-                hoh=hoh,
-                hso=jnp.asarray(blocks_o) if hoh else None,
-                enim=jnp.asarray(hb.enim) if hoh else None,
-                iz_onsite=jnp.asarray(iz_sp),
+            a_b, b2_b = block_lanczos_auto(
+                blocks, lsham, iz_rows, hb.cols, psi0, lld,
+                hoh=hoh, hso=blocks_o if hoh else None,
+                enim=hb.enim if hoh else None, iz_onsite=iz_sp,
             )
-        return np.asarray(a_b), np.asarray(b2_b)
+        return a_b, b2_b
 
     # ------------------------------------------------------------------
     def run_chebyshev(self, emesh):
@@ -309,29 +293,14 @@ class BulkSystem:
         blocks, blocks_o, iz_rows, iz_sp = self._spmv_tables()
         psi0 = block_start_vectors(cl.kk, rec_atoms)
         with g_timer.section("chebyshev-recursion"):
-            import jax
+            # dispatch: backend + mesh chain sharding (chebyshev_recur's
+            # MPI atom partition)
+            from ..parallel.dispatch import chebyshev_moments_auto
 
-            if jax.default_backend() != "cpu":
-                from ..ops.chebyshev import chebyshev_moments_split
-
-                return chebyshev_moments_split(
-                    blocks, lsham, iz_rows, hb.cols, psi0, lld, a, b,
-                    hoh=hoh, hso=blocks_o if hoh else None,
-                    enim=hb.enim if hoh else None, iz_onsite=iz_sp,
-                )
-            mu = chebyshev_moments(
-                jnp.asarray(blocks),
-                jnp.asarray(lsham),
-                jnp.asarray(iz_rows),
-                jnp.asarray(hb.cols),
-                jnp.asarray(psi0),
-                lld,
-                a,
-                b,
-                hoh=hoh,
-                hso=jnp.asarray(blocks_o) if hoh else None,
-                enim=jnp.asarray(hb.enim) if hoh else None,
-                iz_onsite=jnp.asarray(iz_sp),
+            mu = chebyshev_moments_auto(
+                blocks, lsham, iz_rows, hb.cols, psi0, lld, a, b,
+                hoh=hoh, hso=blocks_o if hoh else None,
+                enim=hb.enim if hoh else None, iz_onsite=iz_sp,
             )
         return np.asarray(mu)
 

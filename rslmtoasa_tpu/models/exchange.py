@@ -90,40 +90,37 @@ class ExchangeCalculation:
             (ntype, 18, 18), dtype=np.complex128
         )
         psi0 = pair_start_vectors(cl.kk, self.pairs)
+        # pair chains are the distribution axis (the reference's njij MPI
+        # partition, calculation.f90:863); the dispatch layer shards them
+        # over the device mesh when more than one chip is visible
+        from ..parallel.dispatch import (
+            block_lanczos_auto,
+            chebyshev_moments_auto,
+        )
+
         if cfg.control.recur == "chebyshev":
             # pair-resolved Chebyshev moments (chebyshev_recur_ij
             # :2376-2494) reconstructed per chain with the Jackson
             # kernel (chebyshev_green_ij :892-943)
-            from ..ops.chebyshev import chebyshev_moments
-
             with g_timer.section("pair-recursion"):
-                mu = np.asarray(chebyshev_moments(
-                    jnp.asarray(hb.ee), jnp.asarray(lsham),
-                    jnp.asarray(hb.iz), jnp.asarray(hb.cols),
-                    jnp.asarray(psi0), lld,
+                mu = chebyshev_moments_auto(
+                    hb.ee, lsham, hb.iz, hb.cols, psi0, lld,
                     (emesh.energy_max - emesh.energy_min) / (2.0 - 0.3),
                     (emesh.energy_max + emesh.energy_min) / 2.0,
                     hoh=cfg.hamiltonian.hoh,
-                    hso=(jnp.asarray(hb.eeo)
-                         if cfg.hamiltonian.hoh else None),
-                    enim=(jnp.asarray(hb.enim)
-                          if cfg.hamiltonian.hoh else None),
-                ))
+                    hso=hb.eeo if cfg.hamiltonian.hoh else None,
+                    enim=hb.enim if cfg.hamiltonian.hoh else None,
+                )
             self.mu = mu
             with g_timer.section("intersite-gf"):
                 gi, gj = self._intersite_gf(None, None, emesh, mu=mu)
         else:
             with g_timer.section("pair-recursion"):
-                a_b, b2_b = block_lanczos(
-                    jnp.asarray(hb.ee),
-                    jnp.asarray(lsham),
-                    jnp.asarray(hb.iz),
-                    jnp.asarray(hb.cols),
-                    jnp.asarray(psi0),
-                    lld,
+                a_b, b2_b = block_lanczos_auto(
+                    hb.ee, lsham, hb.iz, hb.cols, psi0, lld,
                     hoh=cfg.hamiltonian.hoh,
-                    hso=jnp.asarray(hb.eeo) if cfg.hamiltonian.hoh else None,
-                    enim=jnp.asarray(hb.enim) if cfg.hamiltonian.hoh else None,
+                    hso=hb.eeo if cfg.hamiltonian.hoh else None,
+                    enim=hb.enim if cfg.hamiltonian.hoh else None,
                 )
             a_b = np.asarray(a_b)
             b_b = zsqr(np.asarray(b2_b))

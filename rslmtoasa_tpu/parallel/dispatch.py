@@ -1,0 +1,220 @@
+"""Automatic engine dispatch: single-device vs mesh-sharded execution.
+
+The reference partitions every phase's independent work over MPI ranks
+(atoms for SCF, ij-pairs for exchange, types for conductivity;
+``source/mpi.f90:32-58``, re-initialised per phase at
+``calculation.f90:252,863,1002``) and allreduces the results.  Here the
+same axis — the batch of independent recursion chains — is sharded over
+a ``jax.sharding.Mesh`` whenever more than one device is visible, and
+gathered back to the host (the allreduce-sum analogue; chain results are
+disjoint, so the gather is exact and rank-count independent).
+
+Every production driver (SCF bulk/surface/impurity, exchange,
+conductivity) calls these entry points, so ``dryrun_multichip`` and the
+CPU-mesh parity test exercise the real pipeline.
+
+Multi-host: call :func:`init_distributed` once at process start (the CLI
+does); it wires ``jax.distributed.initialize`` from the standard
+coordinator environment variables when present.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+_mesh_cache = {"mesh": None, "checked": False}
+
+
+def init_distributed() -> None:
+    """Multi-host bring-up (reference MPI_INIT analogue, main.f90:26-49).
+
+    No-op unless the standard JAX coordinator variables are set
+    (``JAX_COORDINATOR_ADDRESS`` + ``JAX_NUM_PROCESSES`` +
+    ``JAX_PROCESS_ID``), so single-host runs never pay for it.
+    """
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=int(os.environ["JAX_PROCESS_ID"]),
+    )
+
+
+def get_mesh():
+    """The chain-sharding mesh over all visible devices, or ``None`` on a
+    single device (or when ``RSLMTO_NO_MESH`` is set)."""
+    if _mesh_cache["checked"]:
+        return _mesh_cache["mesh"]
+    _mesh_cache["checked"] = True
+    if os.environ.get("RSLMTO_NO_MESH"):
+        return None
+    import jax
+
+    if len(jax.devices()) < 2:
+        return None
+    from .mesh import make_mesh
+
+    _mesh_cache["mesh"] = make_mesh()
+    return _mesh_cache["mesh"]
+
+
+def _pad_axis(x: np.ndarray, axis: int, mult: int) -> Tuple[np.ndarray, int]:
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x, n
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths), n
+
+
+def _mesh_for(n_chains: int):
+    """The mesh, or None when there are fewer chains than devices (the
+    reference leaves surplus MPI ranks idle in that regime — running
+    single-device avoids pure padding overhead)."""
+    mesh = get_mesh()
+    if mesh is None:
+        return None
+    d = int(np.prod(list(mesh.shape.values())))
+    return mesh if n_chains >= d else None
+
+
+def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
+                       hso=None, enim=None, iz_onsite=None):
+    """Block recursion over R chains, sharded over the mesh when present.
+
+    All inputs host arrays (complex128); returns host (a_b, b2_b) of
+    shape (lld, R, 18, 18).  Chains are independent, so padding R to a
+    multiple of the mesh size with copies of chain 0 and dropping the
+    pads afterwards is exact.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.block_lanczos import block_lanczos, block_lanczos_split
+
+    mesh = _mesh_for(np.asarray(psi0).shape[0])
+    if jax.default_backend() != "cpu":
+        # realified engine (no complex on TPU); single-chip today —
+        # multi-TPU sharding rides the same pjit once hardware exists
+        return block_lanczos_split(hs, lsham, iz, cols, psi0, lld,
+                                   hoh=hoh, hso=hso, enim=enim,
+                                   iz_onsite=iz_onsite)
+    if mesh is None:
+        a_b, b2_b = block_lanczos(
+            jnp.asarray(hs), jnp.asarray(lsham), jnp.asarray(iz),
+            jnp.asarray(cols), jnp.asarray(psi0), lld, hoh=hoh,
+            hso=jnp.asarray(hso) if hso is not None else None,
+            enim=jnp.asarray(enim) if enim is not None else None,
+            iz_onsite=jnp.asarray(iz_onsite) if iz_onsite is not None
+            else None)
+        return np.asarray(a_b), np.asarray(b2_b)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d = int(np.prod(list(mesh.shape.values())))
+    psi0_p, r0 = _pad_axis(np.asarray(psi0), 0, d)
+    psi0_p[r0:] = psi0_p[0] if r0 else 0.0
+    rep = NamedSharding(mesh, P())
+    r_shard = NamedSharding(mesh, P("chains"))
+    args = [jnp.asarray(hs), jnp.asarray(lsham), jnp.asarray(iz),
+            jnp.asarray(cols), jnp.asarray(psi0_p)]
+    hso_j = jnp.asarray(hso) if hso is not None else jnp.zeros_like(args[0])
+    enim_j = (jnp.asarray(enim) if enim is not None
+              else jnp.zeros_like(args[1]))
+    izo_j = (jnp.asarray(iz_onsite) if iz_onsite is not None else args[2])
+
+    def _bl(hs_, lsham_, iz_, cols_, psi0_, hso_, enim_, izo_):
+        return block_lanczos(hs_, lsham_, iz_, cols_, psi0_, lld, hoh=hoh,
+                             hso=hso_, enim=enim_, iz_onsite=izo_)
+
+    fn = jax.jit(
+        _bl,
+        in_shardings=(rep, rep, rep, rep, r_shard, rep, rep, rep),
+        out_shardings=(NamedSharding(mesh, P(None, "chains")),) * 2,
+    )
+    a_b, b2_b = fn(*args, hso_j, enim_j, izo_j)
+    return np.asarray(a_b)[:, :r0], np.asarray(b2_b)[:, :r0]
+
+
+def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
+                           hoh=False, hso=None, enim=None, iz_onsite=None):
+    """Chebyshev block moments over R chains, mesh-sharded when present.
+
+    Returns host mu (2*lld+2, R, 18, 18).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.chebyshev import chebyshev_moments, chebyshev_moments_split
+
+    mesh = _mesh_for(np.asarray(psi0).shape[0])
+    if jax.default_backend() != "cpu":
+        return chebyshev_moments_split(hs, lsham, iz, cols, psi0, lld, a, b,
+                                       hoh=hoh, hso=hso, enim=enim,
+                                       iz_onsite=iz_onsite)
+    to_j = lambda x: jnp.asarray(x) if x is not None else None
+    if mesh is None:
+        mu = chebyshev_moments(
+            jnp.asarray(hs), jnp.asarray(lsham), jnp.asarray(iz),
+            jnp.asarray(cols), jnp.asarray(psi0), lld, a, b, hoh=hoh,
+            hso=to_j(hso), enim=to_j(enim), iz_onsite=to_j(iz_onsite))
+        return np.asarray(mu)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d = int(np.prod(list(mesh.shape.values())))
+    psi0_p, r0 = _pad_axis(np.asarray(psi0), 0, d)
+    psi0_p[r0:] = psi0_p[0] if r0 else 0.0
+    rep = NamedSharding(mesh, P())
+    r_shard = NamedSharding(mesh, P("chains"))
+    hso_j = to_j(hso) if hso is not None else jnp.zeros_like(jnp.asarray(hs))
+    enim_j = (to_j(enim) if enim is not None
+              else jnp.zeros_like(jnp.asarray(lsham)))
+    izo_j = to_j(iz_onsite) if iz_onsite is not None else jnp.asarray(iz)
+
+    def _ch(hs_, lsham_, iz_, cols_, psi0_, hso_, enim_, izo_):
+        return chebyshev_moments(hs_, lsham_, iz_, cols_, psi0_, lld, a, b,
+                                 hoh=hoh, hso=hso_, enim=enim_,
+                                 iz_onsite=izo_)
+
+    fn = jax.jit(
+        _ch,
+        in_shardings=(rep, rep, rep, rep, r_shard, rep, rep, rep),
+        out_shardings=NamedSharding(mesh, P(None, "chains")),
+    )
+    mu = fn(jnp.asarray(hs), jnp.asarray(lsham), jnp.asarray(iz),
+            jnp.asarray(cols), jnp.asarray(psi0_p), hso_j, enim_j, izo_j)
+    return np.asarray(mu)[:, :r0]
+
+
+def lanczos_auto(hs, iz, cols, psi0, lld):
+    """Scalar Haydock recursion over C chains (last axis), mesh-sharded
+    when present.  Host in, host out: (a, b2) of shape (lld, C)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.lanczos import lanczos_coefficients
+
+    mesh = _mesh_for(np.asarray(psi0).shape[2])
+    if mesh is None:
+        a, b2 = lanczos_coefficients(
+            jnp.asarray(hs), jnp.asarray(iz), jnp.asarray(cols),
+            jnp.asarray(psi0), lld)
+        return np.asarray(a), np.asarray(b2)
+    from .mesh import lanczos_sharded
+
+    d = int(np.prod(list(mesh.shape.values())))
+    psi0_p, c0 = _pad_axis(np.asarray(psi0), 2, d)
+    a, b2 = lanczos_sharded(mesh, jnp.asarray(hs), jnp.asarray(iz),
+                            jnp.asarray(cols), jnp.asarray(psi0_p), lld)
+    return np.asarray(a)[:, :c0], np.asarray(b2)[:, :c0]
