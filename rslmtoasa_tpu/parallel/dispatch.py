@@ -158,17 +158,30 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
     from ..ops.chebyshev import chebyshev_moments, chebyshev_moments_split
 
     mesh = _mesh_for(np.asarray(psi0).shape[0])
+
+    def _guard(mu):
+        """Divergence guard (recursion.f90:2593-2596): moments blowing up
+        mean the spectrum leaks outside the scaled energy window."""
+        if not np.isfinite(mu).all() or np.abs(mu[-1].real).sum() > 1.0e3 \
+                * max(1, mu.shape[1]):
+            from ..utils.logger import g_logger
+
+            g_logger.fatal(
+                "Chebyshev moments did not converge. Check energy limits "
+                "energy_min and energy_max")
+        return mu
+
     if jax.default_backend() != "cpu":
-        return chebyshev_moments_split(hs, lsham, iz, cols, psi0, lld, a, b,
-                                       hoh=hoh, hso=hso, enim=enim,
-                                       iz_onsite=iz_onsite)
+        return _guard(chebyshev_moments_split(
+            hs, lsham, iz, cols, psi0, lld, a, b,
+            hoh=hoh, hso=hso, enim=enim, iz_onsite=iz_onsite))
     to_j = lambda x: jnp.asarray(x) if x is not None else None
     if mesh is None:
         mu = chebyshev_moments(
             jnp.asarray(hs), jnp.asarray(lsham), jnp.asarray(iz),
             jnp.asarray(cols), jnp.asarray(psi0), lld, a, b, hoh=hoh,
             hso=to_j(hso), enim=to_j(enim), iz_onsite=to_j(iz_onsite))
-        return np.asarray(mu)
+        return _guard(np.asarray(mu))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -194,7 +207,7 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
     )
     mu = fn(jnp.asarray(hs), jnp.asarray(lsham), jnp.asarray(iz),
             jnp.asarray(cols), jnp.asarray(psi0_p), hso_j, enim_j, izo_j)
-    return np.asarray(mu)[:, :r0]
+    return _guard(np.asarray(mu)[:, :r0])
 
 
 def lanczos_auto(hs, iz, cols, psi0, lld):

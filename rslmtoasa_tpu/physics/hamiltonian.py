@@ -266,7 +266,13 @@ def build_bulkham(
             d2 = ((svec - vet[None, :]) ** 2).sum(axis=1)
             k = int(np.argmin(d2))
             if d2[k] >= EPS_VEC:
-                # reference zeroes the neighbor and skips (hmfind ni=0)
+                # reference logs and zeroes the neighbor (hmfind ni=0,
+                # hamiltonian.f90:2401-2404)
+                from ..utils.logger import g_logger
+
+                g_logger.error(
+                    f"hmfind: neighbour vector not found for atom {ia + 1}"
+                    f" neighbour {m} vector {vet}")
                 continue
             hhh = sb[k].T  # hmfind transposes: hhh(ilm,jlm)=sbar(jlm,ilm)
             blk, blk_mag = ham0m_nc(
