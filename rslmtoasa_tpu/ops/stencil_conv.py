@@ -53,6 +53,7 @@ from .df64 import (
     ds_sqrt,
     ds_sum_tree,
     fast_two_sum,
+    two_prod,
     two_sum,
 )
 
@@ -198,15 +199,46 @@ def conv_spmv_df64(w, h_scale, mask, psi_ds, nchunks: int, radius):
     return (acc_hi * sc * m, acc_lo * sc * m)
 
 
+def _fold_halves(hi, lo):
+    """Compensated reduction of the LAST axis by repeated halving —
+    contiguous slices only (no reshape/transpose relayouts, which
+    dominate the dot cost on TPU at these sizes).  Odd sizes are padded
+    once to the next power of two with exact zeros."""
+    n = hi.shape[-1]
+    n2 = 1 << (n - 1).bit_length()
+    if n2 != n:
+        pad = [(0, 0)] * (hi.ndim - 1) + [(0, n2 - n)]
+        hi = jnp.pad(hi, pad)
+        lo = jnp.pad(lo, pad)
+        n = n2
+    while n > 1:
+        half = n // 2
+        s, e = two_sum(hi[..., :half], hi[..., half:n])
+        e = e + (lo[..., :half] + lo[..., half:n])
+        hi, lo = fast_two_sum(s, e)
+        n = half
+    return hi[..., 0], lo[..., 0]
+
+
+def ds_dot_chain(x, y):
+    """Per-chain df64 dot sum over all non-leading axes.
+
+    Optimised for the conv layout: exact per-element products WITHOUT
+    the final pair renormalisation (the cross terms are already below
+    2^-48 of the head), then innermost-axis-first compensated folding —
+    only contiguous slicing, no reshapes (a (C, D, x, y, z) -> (C, -1)
+    reshape is a full relayout copy on TPU and made each dot ~46 ms)."""
+    ph, pe = two_prod(x[0], y[0])
+    pe = pe + (x[0] * y[1] + x[1] * y[0])
+    hi, lo = ph, pe
+    while hi.ndim > 1:
+        hi, lo = _fold_halves(hi, lo)
+    return hi, lo
+
+
 @partial(jax.jit, static_argnames=("lld", "nchunks", "radius"))
 def _lanczos_conv_df64_jit(w, mask, psi0_hi, psi0_lo, h_scale,
                            lld: int, nchunks: int, radius):
-    def ds_dot_chain(x, y):
-        # sum over (feat, spatial) axes -> per-chain (C,) df64
-        p = ds_mul(x, y)
-        hi = p[0].reshape(p[0].shape[0], -1)
-        lo = p[1].reshape(p[1].shape[0], -1)
-        return ds_sum_tree((hi, lo), 1)
 
     def step(carry, _):
         psi_hi, psi_lo, pmn_hi, pmn_lo, sp_hi, sp_lo = carry
@@ -258,6 +290,80 @@ def lanczos_coefficients_conv_df64(w, h_scale: float, mask, psi0_ds,
     a = np.concatenate([a, np.zeros((1, c))], axis=0)
     b2 = np.concatenate([b2, last[None, :]], axis=0)
     return a, b2
+
+
+@partial(jax.jit, static_argnames=("lld", "nchunks", "radius"))
+def _chebyshev_conv_df64_jit(w, mask, psi0_hi, psi0_lo, h_scale,
+                             ainv_hi, ainv_lo, b_hi, b_lo,
+                             lld: int, nchunks: int, radius):
+    """Chebyshev block moments on the conv layout in df64.
+
+    The scaled Hamiltonian H~ = (H - b)/a is applied as the conv SpMV
+    plus a df64 axpy; moments mu_n = <psi0| T_n(H~) |psi0> come from the
+    doubling identities mu_2n = 2<T_n|T_n> - mu_0, mu_2n+1 =
+    2<T_n+1|T_n> - mu_1 (``chebyshev_recur_ll`` recursion.f90:2495-2596),
+    giving 2*lld+2 moments from lld applications.  psi0 is (C, D, nx, ny,
+    nz); moments are per chain: mu (2*lld+2, C).
+    """
+    def apply_ht(psi):
+        # (H psi - b psi) / a in df64; b and 1/a arrive as df64 pairs
+        # (a single-f32 1/a is 6e-8 off and poisons every moment)
+        v = conv_spmv_df64(w, h_scale, mask, psi, nchunks, radius)
+        t = ds_mul((b_hi, b_lo), psi)
+        num = ds_add(v, (-t[0], -t[1]))
+        return ds_mul((ainv_hi, ainv_lo), num)
+
+    psi0 = (psi0_hi, psi0_lo)
+    mu0 = ds_dot_chain(psi0, psi0)
+    w1 = apply_ht(psi0)
+    mu1 = ds_dot_chain(w1, psi0)
+
+    def step(carry, _):
+        # carry = (T_{k-1}, T_k); emits <T_k|T_k> and <T_{k+1}|T_k>
+        # (doubling pairs of chebyshev_recur :3057-3135)
+        w0_, w1_ = carry
+        v = apply_ht(w1_)
+        two = (jnp.float32(2.0), jnp.float32(0.0))
+        w2 = ds_add(ds_mul(two, v), (-w0_[0], -w0_[1]))
+        d1 = ds_dot_chain(w1_, w1_)
+        d2 = ds_dot_chain(w2, w1_)
+        return (w1_, w2), (d1[0], d1[1], d2[0], d2[1])
+
+    (_, _), (d1h, d1l, d2h, d2l) = jax.lax.scan(
+        step, (psi0, w1), None, length=lld)
+    return mu0[0], mu0[1], mu1[0], mu1[1], d1h, d1l, d2h, d2l
+
+
+def chebyshev_moments_conv_df64(w, h_scale: float, mask, psi0_ds,
+                                lld: int, a: float, b: float,
+                                nchunks: int = df64.DF64_CHUNKS,
+                                radius=(1, 1, 1)) -> np.ndarray:
+    """Scalar-chain Chebyshev moments mu (2*lld+2, C) in f64 on the host,
+    from the conv-stencil df64 recursion (doubling identities of
+    ``chebyshev_recur_ll``)."""
+    ainv = 1.0 / float(a)
+    ainv_hi = np.float32(ainv)
+    ainv_lo = np.float32(ainv - np.float64(ainv_hi))
+    b_hi = np.float32(b)
+    b_lo = np.float32(float(b) - np.float64(b_hi))
+    out = _chebyshev_conv_df64_jit(
+        w, jnp.asarray(mask), psi0_ds[0], psi0_ds[1],
+        jnp.float32(h_scale), jnp.float32(ainv_hi), jnp.float32(ainv_lo),
+        jnp.float32(b_hi), jnp.float32(b_lo), lld, nchunks,
+        tuple(radius))
+    mu0h, mu0l, mu1h, mu1l, d1h, d1l, d2h, d2l = out
+    f64 = lambda h, l: np.asarray(h, np.float64) + np.asarray(l, np.float64)
+    mu0 = f64(mu0h, mu0l)
+    mu1 = f64(mu1h, mu1l)
+    d1 = f64(d1h, d1l)  # (lld, C): <T_n|T_n>, n = 1..lld
+    d2 = f64(d2h, d2l)  # (lld, C): <T_{n+1}|T_n>, n = 1..lld
+    c = mu0.shape[0]
+    mu = np.zeros((2 * lld + 2, c))
+    mu[0] = mu0
+    mu[1] = mu1
+    mu[2::2] = 2.0 * d1 - mu0[None]
+    mu[3::2] = 2.0 * d2 - mu1[None]
+    return mu
 
 
 def conv_start_vectors(st: ConvStencil, atom_indices, d: int,
