@@ -34,6 +34,9 @@ class SDParams:
     asd_step: int = 10
     sd_temp: float = 0.0
     integrator: str = "euler"
+    sd_seed: int = 1234
+    i_cons: int = 0  # 0 off, 2/3 Lagrange (constrain.f90 :80-93)
+    lambda_t: float = 1.0
 
     @classmethod
     def from_namelists(cls, nml) -> "SDParams":
@@ -41,10 +44,63 @@ class SDParams:
         g = nml.get("sd")
         if g is None:
             return p
-        for k in "dt alpha asd_step sd_temp integrator".split():
+        for k in "dt alpha asd_step sd_temp integrator sd_seed i_cons " \
+                 "lambda_t".split():
             if g.has(k):
                 setattr(p, k, g.get_scalar(k, getattr(p, k)))
         return p
+
+
+class MTGaussian:
+    """Reproducible thermal-field RNG: MT19937 stream + the Marsaglia
+    polar gasdev of the reference (``abspinlib/randomnumbers.f90``
+    ``gasdev`` :214-256 over ``mtprng`` MT19937 state).  Same seed ->
+    same thermal-field trajectory, the reference's reproducibility
+    contract for finite-temperature ASD."""
+
+    def __init__(self, seed: int = 1234):
+        self._bits = np.random.Generator(np.random.MT19937(seed))
+        self._spare = None
+
+    def standard_normal(self, shape) -> np.ndarray:
+        n = int(np.prod(shape))
+        out = np.empty(n)
+        i = 0
+        if self._spare is not None:
+            out[0] = self._spare
+            self._spare = None
+            i = 1
+        while i < n:
+            v1 = 2.0 * self._bits.random() - 1.0
+            v2 = 2.0 * self._bits.random() - 1.0
+            rsq = v1 * v1 + v2 * v2
+            if rsq >= 1.0 or rsq == 0.0:
+                continue  # gasdev rejection loop
+            fac = np.sqrt(-2.0 * np.log(rsq) / rsq)
+            out[i] = v1 * fac
+            i += 1
+            if i < n:
+                out[i] = v2 * fac
+                i += 1
+            else:
+                self._spare = v2 * fac
+        return out.reshape(shape)
+
+
+def constrain_field(mom_in: np.ndarray, mom_ref: np.ndarray,
+                    bfield: np.ndarray, lambda_t: float = 1.0,
+                    i_cons: int = 3) -> np.ndarray:
+    """Constrained-moment Lagrange field (``abspinlib/constrain.f90
+    constrain`` :56-120, i_cons 2/3): penalise deviation of each moment
+    direction from its reference; mode 3 orthogonalises the penalty to
+    the reference (b perpendicular to m).  Returns the corrected field;
+    arrays are (3, N)."""
+    e_in = mom_in / np.linalg.norm(mom_in, axis=0, keepdims=True)
+    e_ref = mom_ref / np.linalg.norm(mom_ref, axis=0, keepdims=True)
+    delta = e_in - e_ref
+    if i_cons == 3:
+        delta = delta - (delta * e_ref).sum(axis=0, keepdims=True) * e_ref
+    return bfield - 2.0 * lambda_t * delta
 
 
 def magnetic_torques(atoms, iz_rec) -> np.ndarray:
@@ -119,8 +175,10 @@ class SpinDynamics:
         self.cfg = sys.cfg
         self.workdir = workdir
         self.params = SDParams.from_namelists(sys.cfg.namelists)
-        self.rng = np.random.default_rng(seed)
+        # the reference's reproducible MT19937 thermal field (mtprng.f90)
+        self.rng = MTGaussian(self.params.sd_seed or seed)
         self.scf = SelfConsistency(sys, workdir)
+        self.mom_ref = None  # constrained-moment reference directions
 
     # ------------------------------------------------------------------
     def run(self):
@@ -146,6 +204,12 @@ class SpinDynamics:
             self.scf.run()
             field = -magnetic_torques(sys.atoms, iz_rec)
             mom_in = mom_prev.copy()
+            if p.i_cons in (2, 3):
+                # constrained-moment ASD (abspinlib/constrain.f90)
+                if self.mom_ref is None:
+                    self.mom_ref = mom_in.copy()
+                field = constrain_field(mom_in, self.mom_ref, field,
+                                        p.lambda_t, p.i_cons)
             emom = np.zeros((3, na))
             if p.integrator == "depondt":
                 # Depondt-Mertens rotation predictor-corrector

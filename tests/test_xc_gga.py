@@ -127,3 +127,32 @@ def test_spin_dynamics_smoke(reference_dir):
         assert os.path.exists(os.path.join(wd, "output.lammpstrj"))
         e = np.array(sys_.atoms[0].potential.mom)
         assert abs(np.linalg.norm(e) - 1.0) < 1e-8, integ
+
+
+def test_mt_gaussian_reproducible_and_constrain():
+    """MT19937 thermal field reproducibility (abspinlib mtprng contract)
+    and the Lagrange constraining field (constrain.f90 i_cons 2/3)."""
+    import numpy as np
+
+    from rslmtoasa_tpu.models.spin_dynamics import MTGaussian, constrain_field
+
+    a = MTGaussian(42).standard_normal((3, 5))
+    b = MTGaussian(42).standard_normal((3, 5))
+    c = MTGaussian(43).standard_normal((3, 5))
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+    # large-sample moments of the polar gasdev
+    big = MTGaussian(7).standard_normal((200000,))
+    assert abs(big.mean()) < 0.01 and abs(big.std() - 1.0) < 0.01
+
+    mom_ref = np.array([[0.0, 0.0], [0.0, 0.0], [1.0, 1.0]])
+    mom_in = np.array([[0.2, 0.0], [0.0, 0.0], [0.98, 1.0]])
+    b0 = np.zeros((3, 2))
+    # i_cons=3: field orthogonal to the reference direction
+    f3 = constrain_field(mom_in, mom_ref, b0, 1.0, 3)
+    assert abs((f3[:, 0] * mom_ref[:, 0]).sum()) < 1e-12
+    # aligned moment -> no constraining force
+    assert np.allclose(f3[:, 1], 0.0)
+    # i_cons=2: plain penalty opposes the deviation
+    f2 = constrain_field(mom_in, mom_ref, b0, 1.0, 2)
+    assert f2[0, 0] < 0.0
