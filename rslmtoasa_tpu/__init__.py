@@ -26,6 +26,11 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Accelerator plugins (axon) ignore the JAX_PLATFORMS env var alone;
+# forcing the host backend needs the config knob set before first use.
+if os.environ.get("RSLMTO_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 from .config import JobConfig  # noqa: E402
 
 __all__ = ["JobConfig", "__version__"]

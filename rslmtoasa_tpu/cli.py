@@ -46,6 +46,14 @@ def parse_args(argv):
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    # persistent compile cache: accelerator compiles are minutes-slow
+    # (especially the emulated-f64 einsums); repeated runs reuse them
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("RSLMTO_CACHE_DIR", "/tmp/rslmto_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # multi-host bring-up (reference MPI_INIT, main.f90:26-49); no-op
     # unless the JAX coordinator env vars are set
     from .parallel.dispatch import init_distributed

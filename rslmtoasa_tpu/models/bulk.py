@@ -162,15 +162,42 @@ class BulkSystem:
         hb = self.ham
         lld = self.cfg.control.lld
         rec_atoms = [int(j) - 1 for j in cl.irec]
-        # TPU v5e has no native complex128: use the split-complex f64 path
+        # TPU v5e has no native complex128: prefer the df64 exact-chunk
+        # conv-stencil engine (MXU-native, ~1e-13 vs complex128; see
+        # ops/stencil_conv.py), falling back to the XLA-emulated-f64
+        # split-complex path for clusters without a stencil embedding
         use_split = jax.default_backend() != "cpu"
+        conv_st = None
+        if use_split and hb.ee.shape[0] == 1 \
+                and not os.environ.get("RSLMTO_NO_CONV"):
+            try:
+                from ..ops.stencil_conv import build_conv_stencil
+
+                conv_st = build_conv_stencil(cl)
+            except (ValueError, RuntimeError, AssertionError):
+                conv_st = None  # multi-site cell / non-grid cluster
         with g_timer.section("recursion"):
             a_list = []
             b_list = []
             for s in (0, 1):  # spin channels are decoupled for nsp=1
                 blk = hb.ee[:, :, 9 * s : 9 * (s + 1), 9 * s : 9 * (s + 1)]
                 psi0 = scalar_start_vectors(cl.kk, rec_atoms)
-                if use_split:
+                if conv_st is not None:
+                    from ..ops.stencil_conv import (
+                        conv_start_vectors,
+                        lanczos_coefficients_conv_df64,
+                        pack_conv_kernel_df64,
+                    )
+
+                    hs_split = np.asarray(split_complex(blk[0]))
+                    w, h_scale, radius = pack_conv_kernel_df64(
+                        hs_split, conv_st.dcells)
+                    psi0_ds = conv_start_vectors(
+                        conv_st, rec_atoms, 18, orbitals=range(9))
+                    a, b2 = lanczos_coefficients_conv_df64(
+                        w, h_scale, jnp.asarray(conv_st.mask), psi0_ds,
+                        lld, radius=radius)
+                elif use_split:
                     a, b2 = lanczos_coefficients_split(
                         split_complex(blk),
                         jnp.asarray(hb.iz),

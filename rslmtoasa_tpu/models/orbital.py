@@ -30,11 +30,12 @@ import numpy as np
 from ..ops.chebyshev import jackson_kernel
 from ..ops.kubo import _apply_h, _spmv
 from ..physics.energy_mesh import EnergyMesh
+from ..utils.hostjit import host_jit
 from ..utils.logger import g_logger
 from ..utils.timer import g_timer
 
 
-@partial(jax.jit, static_argnames=("n_mom",))
+@host_jit(static_argnames=("n_mom",))
 def _orbital_chunk(blocks, lsham, iz, cols, xs, ys, psi0, *, n_mom,
                    a, b):
     """mu_n (n_mom, 18, 18) contribution of one chunk of start sites.

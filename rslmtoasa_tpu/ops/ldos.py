@@ -10,7 +10,6 @@ renormalisation ``e/dw_l - cshi`` and the final ``/dw_l``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -18,9 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .terminator import bpopt
+from ..utils.hostjit import host_jit
 
 
-@partial(jax.jit, static_argnames=())
+@host_jit
 def bprldos(
     e: jnp.ndarray,  # (..., ) energies, broadcastable against chains
     a: jnp.ndarray,  # (lld, C)
@@ -89,7 +89,7 @@ def orbital_density(
     return tdens.T, a_inf, b_inf
 
 
-@jax.jit
+@host_jit
 def _bprldos_shifted(
     e: jnp.ndarray,  # (NE, C) per-chain shifted energies
     a: jnp.ndarray,

@@ -88,14 +88,48 @@ def _mesh_for(n_chains: int):
     return mesh if n_chains >= d else None
 
 
+def _wavefront_plan(cols, kk: int, psi0, lld: int, hoh: bool,
+                    starts=None, kind: str = "lanczos"):
+    """Active-set plan for large clusters (create_ll_map analogue,
+    recursion.f90:3277-3303), or ``None`` when dense is better.
+
+    Engages above ``RSLMTO_WAVEFRONT_KK`` atoms (default 30000) when the
+    recursion ball is genuinely smaller than the cluster.  ``starts``
+    defaults to the nonzero rows of ``psi0``.
+    """
+    thr = int(os.environ.get("RSLMTO_WAVEFRONT_KK", "30000"))
+    if kk < thr:
+        return None
+    if starts is None:
+        p = np.abs(np.asarray(psi0))
+        axes = tuple(i for i in range(p.ndim)
+                     if i != (1 if p.ndim == 4 else 0))
+        rows = p.sum(axis=axes)[:kk]
+        starts = np.nonzero(rows)[0]
+        if starts.size == 0 or starts.size > 4096:
+            return None
+    from ..ops.wavefront import make_plan, make_plan_chebyshev
+
+    mk = make_plan_chebyshev if kind == "chebyshev" else make_plan
+    plan = mk(np.asarray(cols), kk, starts, lld,
+              hops_per_step=2 if hoh else 1)
+    if plan.work >= 0.7 * plan.dense_work:
+        return None
+    return plan
+
+
 def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
-                       hso=None, enim=None, iz_onsite=None):
+                       hso=None, enim=None, iz_onsite=None, starts=None):
     """Block recursion over R chains, sharded over the mesh when present.
 
     All inputs host arrays (complex128); returns host (a_b, b2_b) of
     shape (lld, R, 18, 18).  Chains are independent, so padding R to a
     multiple of the mesh size with copies of chain 0 and dropping the
     pads afterwards is exact.
+
+    Large clusters route through the active-set wavefront engine
+    (``ops/wavefront.py``) — O(recursion ball) work instead of O(kk)
+    per step, the reference's ``create_ll_map`` device.
     """
     import jax
     import jax.numpy as jnp
@@ -103,6 +137,34 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
     from ..ops.block_lanczos import block_lanczos, block_lanczos_split
 
     mesh = _mesh_for(np.asarray(psi0).shape[0])
+    if mesh is None:
+        plan = _wavefront_plan(cols, np.asarray(psi0).shape[1] - 1,
+                               psi0, lld, hoh, starts=starts)
+        if plan is not None:
+            from ..ops.wavefront import block_lanczos_wavefront
+
+            if jax.default_backend() != "cpu":
+                from ..ops.block_lanczos import (
+                    realify_blocks,
+                    unrealify_blocks,
+                )
+
+                a_b, b2_b = block_lanczos_wavefront(
+                    realify_blocks(hs), realify_blocks(lsham),
+                    np.asarray(iz), np.asarray(cols),
+                    realify_blocks(psi0), lld, plan, hoh=hoh,
+                    hso=realify_blocks(hso) if hso is not None else None,
+                    enim=realify_blocks(enim) if enim is not None else None,
+                    iz_onsite=(np.asarray(iz_onsite)
+                               if iz_onsite is not None else None))
+                return unrealify_blocks(a_b), unrealify_blocks(b2_b)
+            return block_lanczos_wavefront(
+                np.asarray(hs), np.asarray(lsham), np.asarray(iz),
+                np.asarray(cols), np.asarray(psi0), lld, plan, hoh=hoh,
+                hso=np.asarray(hso) if hso is not None else None,
+                enim=np.asarray(enim) if enim is not None else None,
+                iz_onsite=(np.asarray(iz_onsite)
+                           if iz_onsite is not None else None))
     if jax.default_backend() != "cpu":
         # realified engine (no complex on TPU); single-chip today —
         # multi-TPU sharding rides the same pjit once hardware exists
@@ -147,10 +209,12 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
 
 
 def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
-                           hoh=False, hso=None, enim=None, iz_onsite=None):
+                           hoh=False, hso=None, enim=None, iz_onsite=None,
+                           starts=None):
     """Chebyshev block moments over R chains, mesh-sharded when present.
 
-    Returns host mu (2*lld+2, R, 18, 18).
+    Returns host mu (2*lld+2, R, 18, 18).  Large clusters route through
+    the active-set wavefront engine (izeroll, recursion.f90:2570-2577).
     """
     import jax
     import jax.numpy as jnp
@@ -160,10 +224,12 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
     mesh = _mesh_for(np.asarray(psi0).shape[0])
 
     def _guard(mu):
-        """Divergence guard (recursion.f90:2593-2596): moments blowing up
-        mean the spectrum leaks outside the scaled energy window."""
-        if not np.isfinite(mu).all() or np.abs(mu[-1].real).sum() > 1.0e3 \
-                * max(1, mu.shape[1]):
+        """Divergence guard (recursion.f90:2594-2596): the reference
+        checks the SIGNED real sum of the newest even-moment block per
+        rec atom against 1000 — moments blowing up mean the spectrum
+        leaks outside the scaled energy window."""
+        last = mu[-1].real.reshape(mu.shape[1], -1).sum(axis=1)
+        if not np.isfinite(mu).all() or (last > 1.0e3).any():
             from ..utils.logger import g_logger
 
             g_logger.fatal(
@@ -171,6 +237,37 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
                 "energy_min and energy_max")
         return mu
 
+    if mesh is None:
+        plan = _wavefront_plan(cols, np.asarray(psi0).shape[1] - 1,
+                               psi0, lld, hoh, starts=starts,
+                               kind="chebyshev")
+        if plan is not None:
+            from ..ops.wavefront import chebyshev_moments_wavefront
+
+            if jax.default_backend() != "cpu":
+                from ..ops.block_lanczos import (
+                    realify_blocks,
+                    unrealify_blocks,
+                )
+
+                mu = chebyshev_moments_wavefront(
+                    realify_blocks(hs), realify_blocks(lsham),
+                    np.asarray(iz), np.asarray(cols),
+                    realify_blocks(psi0), lld, a, b, plan, hoh=hoh,
+                    hso=realify_blocks(hso) if hso is not None else None,
+                    enim=(realify_blocks(enim)
+                          if enim is not None else None),
+                    iz_onsite=(np.asarray(iz_onsite)
+                               if iz_onsite is not None else None))
+                return _guard(unrealify_blocks(mu))
+            return _guard(chebyshev_moments_wavefront(
+                np.asarray(hs), np.asarray(lsham), np.asarray(iz),
+                np.asarray(cols), np.asarray(psi0), lld, a, b, plan,
+                hoh=hoh,
+                hso=np.asarray(hso) if hso is not None else None,
+                enim=np.asarray(enim) if enim is not None else None,
+                iz_onsite=(np.asarray(iz_onsite)
+                           if iz_onsite is not None else None)))
     if jax.default_backend() != "cpu":
         return _guard(chebyshev_moments_split(
             hs, lsham, iz, cols, psi0, lld, a, b,
@@ -210,15 +307,26 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
     return _guard(np.asarray(mu)[:, :r0])
 
 
-def lanczos_auto(hs, iz, cols, psi0, lld):
+def lanczos_auto(hs, iz, cols, psi0, lld, starts=None):
     """Scalar Haydock recursion over C chains (last axis), mesh-sharded
-    when present.  Host in, host out: (a, b2) of shape (lld, C)."""
+    when present.  Host in, host out: (a, b2) of shape (lld, C).
+
+    Large clusters route through the active-set wavefront engine."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.lanczos import lanczos_coefficients
 
     mesh = _mesh_for(np.asarray(psi0).shape[2])
+    if mesh is None:
+        plan = _wavefront_plan(cols, np.asarray(psi0).shape[0] - 1,
+                               psi0, lld, False, starts=starts)
+        if plan is not None:
+            from ..ops.wavefront import lanczos_coefficients_wavefront
+
+            return lanczos_coefficients_wavefront(
+                np.asarray(hs), np.asarray(iz), np.asarray(cols),
+                np.asarray(psi0), lld, plan)
     if mesh is None:
         a, b2 = lanczos_coefficients(
             jnp.asarray(hs), jnp.asarray(iz), jnp.asarray(cols),

@@ -154,6 +154,49 @@ def test_kubo_realified_parity():
     np.testing.assert_allclose(m2, m1, atol=1e-10)
 
 
+def test_kubo_f32_production_cond_ll():
+    """The realified-f32 TPU Kubo engine at the PRODUCTION moment count
+    (cond_ll = lld = 100, the fccPt reference case patch) stays inside
+    the reference 1e-6 parity gate relative to the moment scale —
+    the accuracy claim behind models/conductivity.py:243-259."""
+    from rslmtoasa_tpu.ops.block_lanczos import (
+        realify_blocks,
+        unrealify_blocks,
+    )
+
+    sys_ = build_synthetic_bcc(rc=12.0, lld=4, nsp=2)
+    hb = sys_.ham
+    kk = sys_.cluster.kk
+    v_a, v_b = build_velocity_operators(
+        sys_, np.array([0.0, 1.0, 0.0]), np.array([1.0, 0.0, 0.0]))
+    ntype = hb.ee.shape[0]
+    lsh = hb.lsham if hb.lsham is not None else np.zeros(
+        (ntype, 18, 18), np.complex128)
+    psi0 = np.zeros((kk, 18, 18), np.complex128)
+    psi0[0] = np.eye(18)
+    a_s = (1.0 - (-1.5)) / (2.0 - 0.3)
+    b_s = (1.0 + (-1.5)) / 2.0
+    cond_ll = 100
+    mu64 = np.asarray(kubo_moments(
+        jnp.asarray(hb.ee), jnp.asarray(lsh), jnp.asarray(hb.iz),
+        jnp.asarray(hb.cols), jnp.asarray(v_a), jnp.asarray(v_b),
+        jnp.asarray(psi0), n_moments=cond_ll, block_size=cond_ll,
+        a=a_s, b=b_s))
+    psir = np.zeros((kk, 36, 36))
+    psir[0] = np.eye(36)
+    mu32 = unrealify_blocks(np.asarray(kubo_moments(
+        jnp.asarray(realify_blocks(hb.ee), jnp.float32),
+        jnp.asarray(realify_blocks(lsh), jnp.float32),
+        jnp.asarray(hb.iz), jnp.asarray(hb.cols),
+        jnp.asarray(realify_blocks(v_a), jnp.float32),
+        jnp.asarray(realify_blocks(v_b), jnp.float32),
+        jnp.asarray(psir, jnp.float32),
+        n_moments=cond_ll, block_size=cond_ll, a=a_s, b=b_s)))
+    scale = np.abs(mu64).max()
+    err = np.abs(mu32 - mu64).max()
+    assert err / scale < 5e-6, f"f32 Kubo rel error {err/scale:.2e}"
+
+
 def test_kubo_operator_types():
     """All Kubo slot operator types build finite, correctly-structured
     tables; anticommutator/commutator identities hold block-wise."""

@@ -10,6 +10,7 @@ import pytest
 from rslmtoasa_tpu.config import JobConfig
 from rslmtoasa_tpu.models.bulk import BulkSystem
 from rslmtoasa_tpu.models.exchange import ExchangeCalculation
+from rslmtoasa_tpu.models.presets import build_synthetic_bcc
 
 
 @pytest.fixture(scope="module")
@@ -119,6 +120,67 @@ def test_gilbert_damping_tensor(exchange_run):
     assert np.all(np.isfinite(dat))
     # collinear z magnetisation: in-plane components dominate and match
     assert abs(alpha[0] - alpha[4]) < 0.5 * max(abs(alpha[0]), 1e-12)
+
+
+def _two_level_setup(tmp_path, monkeypatch, eta=0.05, e0=-0.1):
+    """ExchangeCalculation with EXACT Lorentzian intersite GF injected:
+    g_ij(E) = 1/(E - e0 + i eta) on orbital (0,0), zero elsewhere, and
+    a torque operator T = |0><0| on every type/component.  Every
+    downstream quantity then has a closed form (the Kambersky two-level
+    limit), making damping/inertia true value tests instead of ratio
+    windows."""
+    import rslmtoasa_tpu.models.exchange as exm
+    from rslmtoasa_tpu.models.exchange import ExchangeCalculation
+    from rslmtoasa_tpu.physics.energy_mesh import EnergyMesh
+
+    sys_ = build_synthetic_bcc(rc=8.0, ndim=500, lld=4, nsp=2)
+    xc = ExchangeCalculation(sys_, np.array([[1, 2]]), workdir=str(tmp_path))
+    em = EnergyMesh.build(sys_.cfg.energy)
+    g = 1.0 / (em.ene - e0 + 1j * eta)  # (NE,)
+    gfull = np.zeros((1, 18, 18, em.npts), np.complex128)
+    gfull[0, 0, 0] = g
+    xc.gij_full = gfull
+    xc.gji_full = gfull.copy()
+
+    t = np.zeros((1, 3, 18, 18), np.complex128)
+    t[:, :, 0, 0] = 1.0
+    monkeypatch.setattr(exm, "torque_operator_collinear",
+                        lambda atoms: t)
+    ief = int(np.argmin(np.abs(em.ene - em.fermi)))
+    ef = em.ene[ief]
+    pot = sys_.atoms[0].potential
+    spin = float((pot.ql[0, :, 0] - pot.ql[0, :, 1]).sum())
+    return xc, em, ef, eta, e0, spin
+
+
+def test_damping_kambersky_two_level(tmp_path, monkeypatch):
+    """Gilbert damping against the closed-form two-level Kambersky
+    value: with T = |0><0| and g = 1/(E - e0 + i eta),
+    A_00 = 2i Im g, so alpha^{kl} = -0.5/(pi m) Re tr[T A T A]
+    = 2 (Im g(E_F))^2 / (pi m) for every k, l."""
+    xc, em, ef, eta, e0, spin = _two_level_setup(tmp_path, monkeypatch)
+    alpha = xc.calculate_gilbert_damping()
+    img = -eta / ((ef - e0) ** 2 + eta ** 2)
+    expect = 2.0 * img ** 2 / (np.pi * spin)
+    np.testing.assert_allclose(alpha, np.full(9, expect), rtol=1e-10)
+
+
+def test_inertia_kambersky_two_level(tmp_path, monkeypatch):
+    """Moment of inertia against the analytic second energy derivative:
+    I^{kl} = Re tr[T A T B'' + T B'' T A] with B_00 = 2 Re g and
+    B''_00 = Re[4/(E - e0 + i eta)^3] (closed form), A_00 = 2i Im g.
+    The module differentiates B on the mesh (O(h^2) central FD), so the
+    gate allows the FD truncation error."""
+    xc, em, ef, eta, e0, spin = _two_level_setup(tmp_path, monkeypatch)
+    inertia = xc.calculate_moment_of_inertia()
+    g = 1.0 / (ef - e0 + 1j * eta)
+    a00 = 2j * g.imag
+    b2_exact = np.real(4.0 / (ef - e0 + 1j * eta) ** 3)
+    expect = np.real(a00 * b2_exact + b2_exact * a00)
+    h = em.ene[1] - em.ene[0]
+    # FD truncation: |B''''| h^2 / 12 with B'''' ~ 48/eta^5 at the peak
+    np.testing.assert_allclose(inertia, np.full(9, expect),
+                               rtol=5e-3)
 
 
 def test_moment_of_inertia_outputs(exchange_run):

@@ -48,6 +48,10 @@ def test_run_chebyshev_mesh_matches_single(mesh_toggle):
     sys_ = build_synthetic_bcc(rc=8.0, ndim=2000, lld=6, nsp=2)
     sys_.cfg.control.recur = "chebyshev"
     sys_.cluster.irec = np.ones(8, dtype=np.int64)
+    # widen the window to contain the synthetic spectrum — the
+    # divergence guard (recursion.f90:2594-2596) fatals otherwise
+    sys_.cfg.energy.energy_min = -1.5
+    sys_.cfg.energy.energy_max = 1.0
     em = EnergyMesh.build(sys_.cfg.energy)
     _use_mesh()
     mu_m = sys_.run_chebyshev(em)
