@@ -142,7 +142,7 @@ def run_calculation(cfg: JobConfig, workdir: str = ".") -> int:
         from .models.conductivity import ConductivityCalculation
 
         cc = ConductivityCalculation(sys_, workdir)
-        cc.run()
+        cc.run(cond_type=cfg.control.cond_type)
     elif post == "orbital_modern":
         from .models.orbital import OrbitalMoment
 

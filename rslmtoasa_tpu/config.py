@@ -75,6 +75,11 @@ class ControlCfg:
     linear_in: str = "charge"
     linear_out: str = "charge"
     cond_calctype: str = "per_type"
+    #: legacy selector kept by older reference versions (the committed
+    #: conductivity inputs still carry it; the modern reference ignores
+    #: it, but the stored fccPt references were GENERATED with the
+    #: legacy 'spin' branch active — see models/conductivity.run)
+    cond_type: str = "charge"
     fname: str = ""
 
     @classmethod
@@ -86,7 +91,7 @@ class ControlCfg:
         for k in (
             "calctype nsp lld llsp npold recur terminator txc nmdir lrot incorb "
             "svac blockrec do_asd asd_jij hyperfine sym_term random_vec_num "
-            "cond_ll linear_in linear_out cond_calctype"
+            "cond_ll linear_in linear_out cond_calctype cond_type"
         ).split():
             if g.has(k):
                 setattr(c, k, g.get_scalar(k, getattr(c, k)))

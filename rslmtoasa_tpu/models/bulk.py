@@ -225,6 +225,20 @@ class BulkSystem:
         return a, b2
 
     # ------------------------------------------------------------------
+
+    def _cached_psi0(self, kk: int, rec_atoms):
+        """Identity start blocks, reused across SCF iterations so the
+        dispatch device-transfer cache hits (the array is constant —
+        only the Hamiltonian changes per iteration)."""
+        from ..ops.block_lanczos import block_start_vectors
+
+        key = (kk, tuple(rec_atoms))
+        cached = getattr(self, "_psi0_block", None)
+        if cached is None or cached[0] != key:
+            self._psi0_block = (key, block_start_vectors(kk, rec_atoms))
+        return self._psi0_block[1]
+
+    # ------------------------------------------------------------------
     def _spmv_tables(self):
         """Block-row tables for the SpMV: combined [hall; ee] rows with
         per-atom indices in the impurity-local zone, plain per-type rows
@@ -283,7 +297,7 @@ class BulkSystem:
                 b_parts.append(np.asarray(b2_b))
             return (np.concatenate(a_parts, axis=1),
                     np.concatenate(b_parts, axis=1))
-        psi0 = block_start_vectors(cl.kk, rec_atoms)
+        psi0 = self._cached_psi0(cl.kk, rec_atoms)
         with g_timer.section("block-recursion"):
             # dispatch: TPU realified engine / CPU complex128, chain-
             # sharded over the mesh when >1 device (recur_b's MPI atom
@@ -318,7 +332,7 @@ class BulkSystem:
         a = (emesh.energy_max - emesh.energy_min) / (2.0 - 0.3)
         b = (emesh.energy_max + emesh.energy_min) / 2.0
         blocks, blocks_o, iz_rows, iz_sp = self._spmv_tables()
-        psi0 = block_start_vectors(cl.kk, rec_atoms)
+        psi0 = self._cached_psi0(cl.kk, rec_atoms)
         with g_timer.section("chebyshev-recursion"):
             # dispatch: backend + mesh chain sharding (chebyshev_recur's
             # MPI atom partition)

@@ -110,6 +110,7 @@ class ExchangeCalculation:
                     hoh=cfg.hamiltonian.hoh,
                     hso=hb.eeo if cfg.hamiltonian.hoh else None,
                     enim=hb.enim if cfg.hamiltonian.hoh else None,
+                    guard=False,  # chebyshev_recur_ij has no guard
                 )
             self.mu = mu
             with g_timer.section("intersite-gf"):

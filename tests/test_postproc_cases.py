@@ -6,16 +6,17 @@ gates the stored ``ref.json`` rows (exchange jij/dij on bcc Fe, Kubo-Bastin
 ``Pt_cond.out`` on fcc Pt) at the per-case tolerances, mirroring
 ``/root/reference/tests/run_test.py``.
 
-Energy-window forensics (conductivity cases): the committed
-``cases/conductivity/fccPt/input.nml`` post-dates the stored references.
-The references' energy column pins the generation-time mesh exactly:
-edel = 0.0014801735 and fermi on grid point 1632 reconstruct all three
-stored rows only for (energy_min=-2.5, energy_max=1.2, channels=2500,
-fermi=-0.085837); the committed (-1.0, 1.2, fermi=-0.089509) cannot
-produce row energies of -1.675556.  Likewise ``cond_ll=500`` cannot be
-the generation value: the reference allocates gamma_nm(channels+10,
-cond_ll, cond_ll) (conductivity.f90:173) which is 10 TB at 500 — the
-generation ran with cond_ll equal to the patched ``lld``.
+Generation forensics (conductivity cases): the stored ``Pt_cond.out``
+references were produced by an OLDER reference revision in which the
+legacy ``cond_type`` selector was still active (it is commented out at
+``recursion.f90:1030-1060`` today, so a current reference run of this
+input computes the charge sigma_yx, which vanishes by cubic symmetry).
+The committed input's ``cond_type='spin'`` + ``js_alpha='z'`` select the
+SOC spin-Hall output slot — with linear_out='spin', pol 'z', and the
+committed ``cond_ll=50`` all three stored rows reproduce to ~1e-9.
+The energy window is also generation-time: the stored energy column
+reconstructs only for (energy_min=-2.5, energy_max=1.2, channels=2500,
+fermi=-0.085837), not the committed (-1.0, 1.2, fermi=-0.089509).
 """
 
 import json
@@ -66,7 +67,8 @@ def test_postproc_case(reference_dir, case):
     if case["case"].startswith("conductivity"):
         for k, v in COND_ENERGY.items():
             setattr(cfg.energy, k, v)
-        cfg.control.cond_ll = cfg.control.lld  # see module docstring
+        # committed cond_ll (50) IS the generation value; the patch's
+        # lld only raises the SCF recursion depth (see module docstring)
     rc = run_calculation(cfg, wd)
     assert rc == 0
 
