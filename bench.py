@@ -7,14 +7,16 @@ throughput in Gnnz/s (nonzero Hamiltonian matrix entries processed per
 second across all chains and recursion steps), compared against a
 single-core NumPy baseline of the identical computation.
 
-Runs the conv-stencil df64 engine (rslmtoasa_tpu/ops/stencil_conv.py):
-the neighbor-map SpMV expressed as ONE 3-D bucket convolution per step —
-gather-free, MXU-native — with double-float (df64) arithmetic for the
-recursion updates.  ~1e-13 agreement with the complex128 recursion,
-verified against the NumPy f64 baseline below at 1e-8.  The XLA-emulated
-f64 path (ops/lanczos.py) is the parity/test path; the gather-based ELL
-df64 engine (ops/lanczos_df64.py) is the fallback for clusters without a
-stencil embedding.
+Runs the fused Pallas flat-stencil df64 engine
+(rslmtoasa_tpu/ops/pallas_conv.py): the neighbor-map SpMV as 27 resident
+MXU GEMMs per (chain, plane) cell with in-kernel df64 bucket
+recombination and cluster masking — gather-free, one HBM pass for the
+output pair.  ~1e-13 agreement with the complex128 recursion, verified
+against the NumPy f64 baseline below at 1e-8.  Fallbacks: the XLA
+bucket-conv lowering (ops/stencil_conv.py) for wide stencils, the
+XLA-emulated-f64 path (ops/lanczos.py) for parity tests, and the
+gather-based ELL df64 engine (ops/lanczos_df64.py) for clusters without
+a stencil embedding.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -38,12 +40,8 @@ def main():
 
     from rslmtoasa_tpu.models.presets import build_synthetic_bcc
     from rslmtoasa_tpu.ops.lanczos import scalar_start_vectors, split_complex
-    from rslmtoasa_tpu.ops.stencil_conv import (
-        _lanczos_conv_df64_jit,
-        build_conv_stencil,
-        conv_start_vectors,
-        pack_conv_kernel_df64,
-    )
+    from rslmtoasa_tpu.ops import pallas_conv as pc
+    from rslmtoasa_tpu.ops.stencil_conv import build_conv_stencil
 
     lld = 20
     # production-scale cluster (~11k atoms) and a wide chain batch
@@ -65,18 +63,20 @@ def main():
     # chunk-pair GEMMs in one MXU-shaped convolution
     hs_np = np.asarray(hb.ee[:, :, :9, :9])
     hs_split = np.asarray(split_complex(hs_np[0]))
-    w, h_scale, radius = pack_conv_kernel_df64(hs_split, st.dcells)
+    fs = pc.build_flat_stencil(st)
+    wt, h_scale, dxs, colshifts = pc.pack_flat_kernel(hs_split, st)
     starts = list(range(0, kk, max(1, kk // n_start)))[:n_start]
-    psi0_ds = conv_start_vectors(st, starts, 18, orbitals=range(9))
+    psi0_ds = pc.flat_start_vectors(fs, starts, 18, orbitals=range(9))
     c = psi0_ds[0].shape[0]
-    mask = jnp.asarray(st.mask)
+    mask = jnp.asarray(fs.mask)
 
     def fn(scale_jitter):
         # jitter keeps every repetition a distinct execution
-        return _lanczos_conv_df64_jit(w, mask,
-                                      psi0_ds[0] * scale_jitter, psi0_ds[1],
-                                      jnp.float32(h_scale), lld, 7,
-                                      tuple(radius))
+        return pc._lanczos_flat_df64_jit(wt, mask,
+                                         psi0_ds[0] * scale_jitter,
+                                         psi0_ds[1], float(h_scale),
+                                         lld, 7, 18, tuple(dxs),
+                                         tuple(colshifts))
 
     # warmup/compile.  NOTE: on the axon backend block_until_ready does not
     # actually synchronise; a host readback of the result is the only

@@ -127,9 +127,14 @@ def pack_flat_kernel(hs_split, st, nchunks: int = df64.DF64_CHUNKS):
 def _spmv_kernel(w_ref, mask_ref, x0_ref, x1_ref, x2_ref,
                  ohi_ref, olo_ref, *, nchunks: int, d: int,
                  dxs, colshifts, scale: float, roww: int):
-    """One (chain, plane) cell: 27 GEMMs + df64 recombination + mask."""
+    """One (chain, plane) cell: 27 GEMMs + df64 recombination + mask.
+
+    The mask row arrives via its BlockSpec index map (NOT a dynamic
+    in-kernel ``mask_ref[p]`` index): under ``jax_enable_x64`` the
+    dynamic-offset computation emits an int64->int32 convert that sends
+    Mosaic's ``_convert_helper`` into infinite recursion (jax 0.9.0
+    lowering.py:2291), so all in-kernel indexing here is static."""
     width = roww - 2 * MARG
-    p = pl.program_id(1)
     planes = (x0_ref, x1_ref, x2_ref)
     acc = jnp.zeros((nchunks * d, width), jnp.float32)
     for t in range(len(colshifts)):
@@ -151,7 +156,7 @@ def _spmv_kernel(w_ref, mask_ref, x0_ref, x1_ref, x2_ref,
     if tail is not None:
         lo = lo + tail
     hi, lo = fast_two_sum(hi, lo)
-    m = mask_ref[p, MARG:MARG + width][None, :]
+    m = mask_ref[0, 0, MARG:MARG + width][None, :]
     sc = jnp.float32(scale)
     zero = jnp.zeros((d, MARG), jnp.float32)
     ohi_ref[0, 0] = jnp.concatenate(
@@ -170,10 +175,20 @@ def conv_spmv_df64_pallas(wt, mask, psi_ds, h_scale: float, *,
     zeros outside cluster cells)."""
     x = _extract_chunks_flat(psi_ds, nchunks)  # (C, nxp, QD, roww) bf16
     c, nxp, qd, roww = x.shape
+    mask3 = mask[:, None, :]  # (nxp, 1, roww): per-plane mask rows
+
+    # Index maps must stay int32-only under jax_enable_x64: weak-int
+    # arithmetic promotes to int64, whose converts Mosaic cannot lower
+    # (infinite _convert_helper recursion / func.return legalize errors).
+    # np.int32 scalars (not jnp -- index maps must not capture tracers)
+    # are strong-typed, so every op below stays i32.
+    i0 = np.int32(0)
 
     def xmap(off):
         def f(ci, p):
-            return (ci, jnp.clip(p + off, 0, nxp - 1), 0, 0)
+            q = jnp.clip(p.astype(jnp.int32) + np.int32(off),
+                         i0, np.int32(nxp - 1))
+            return (ci.astype(jnp.int32), q, i0, i0)
         return f
 
     kern = partial(_spmv_kernel, nchunks=nchunks, d=d, dxs=dxs,
@@ -183,9 +198,10 @@ def conv_spmv_df64_pallas(wt, mask, psi_ds, h_scale: float, *,
         kern,
         grid=(c, nxp),
         in_specs=[
-            pl.BlockSpec((27, qd, qd), lambda ci, p: (0, 0, 0),
+            pl.BlockSpec((27, qd, qd), lambda ci, p: (i0, i0, i0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nxp, roww), lambda ci, p: (0, 0),
+            pl.BlockSpec((1, 1, roww),
+                         lambda ci, p: (p.astype(jnp.int32), i0, i0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, qd, roww), xmap(-1),
                          memory_space=pltpu.VMEM),
@@ -195,9 +211,13 @@ def conv_spmv_df64_pallas(wt, mask, psi_ds, h_scale: float, *,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, d, roww), lambda ci, p: (ci, p, 0, 0),
+            pl.BlockSpec((1, 1, d, roww),
+                         lambda ci, p: (ci.astype(jnp.int32),
+                                        p.astype(jnp.int32), i0, i0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d, roww), lambda ci, p: (ci, p, 0, 0),
+            pl.BlockSpec((1, 1, d, roww),
+                         lambda ci, p: (ci.astype(jnp.int32),
+                                        p.astype(jnp.int32), i0, i0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(out_shape, out_shape),
@@ -208,7 +228,7 @@ def conv_spmv_df64_pallas(wt, mask, psi_ds, h_scale: float, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(wt, mask, x, x, x)
+    )(wt, mask3, x, x, x)
     return ohi, olo
 
 
