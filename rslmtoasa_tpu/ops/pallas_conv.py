@@ -43,8 +43,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import df64
-from .df64 import ds_add, ds_mul, ds_recip, ds_sqrt, fast_two_sum, two_sum
-from .stencil_conv import ds_dot_chain, pack_conv_kernel_df64
+from .df64 import (
+    ds_add,
+    ds_mul,
+    ds_recip,
+    ds_sqrt,
+    fast_two_sum,
+    two_prod,
+    two_sum,
+)
+from .stencil_conv import _fold_halves, ds_dot_chain, pack_conv_kernel_df64
 
 MARG = 64  # column margin; must be >= nz + 3
 
@@ -124,10 +132,39 @@ def pack_flat_kernel(hs_split, st, nchunks: int = df64.DF64_CHUNKS):
             tuple(dxs), tuple(colshifts))
 
 
-def _spmv_kernel(w_ref, mask_ref, x0_ref, x1_ref, x2_ref,
-                 ohi_ref, olo_ref, *, nchunks: int, d: int,
-                 dxs, colshifts, scale: float, roww: int):
-    """One (chain, plane) cell: 27 GEMMs + df64 recombination + mask.
+def _extract_block(hi, lo, nchunks: int):
+    """In-kernel rint chunk extraction of one (d, roww) df64 plane into
+    the (nchunks*d, roww) bf16 chunk stack (chunk-major along axis 0;
+    values on the shared power-of-two grids of
+    ``stencil_conv._extract_chunks_chan``)."""
+    r = hi * jnp.float32(0.5)
+    w_lo = lo * jnp.float32(0.5)
+    outs = []
+    for k in range(nchunks):
+        q = jnp.float32(2.0 ** (-df64.CHUNK_BITS * (k + 1)))
+        iq = jnp.float32(2.0 ** (df64.CHUNK_BITS * (k + 1)))
+        ck = jnp.rint(r * iq) * q
+        outs.append(ck.astype(jnp.bfloat16))
+        r = r - ck
+        if k == 2:
+            r, w_lo = two_sum(r, w_lo)
+        elif k == 3:
+            r = r + w_lo
+    return jnp.concatenate(outs, axis=0)
+
+
+def _spmv_kernel(w_ref, mask_ref, ph0_ref, pl0_ref, ph1_ref, pl1_ref,
+                 ph2_ref, pl2_ref, ohi_ref, olo_ref, ahi_ref, alo_ref,
+                 *, nchunks: int, d: int, dxs, colshifts, scale: float,
+                 roww: int):
+    """One (chain, plane) cell: in-VMEM chunk extraction of the three
+    df64 wavefront planes, 27 MXU GEMMs, df64 bucket recombination +
+    mask, and the compensated partial dot <v|psi> per column.
+
+    Reading the f32 wavefront pairs directly (instead of a pre-chunked
+    bf16 tensor) removes the whole-wavefront chunk tensor from HBM: the
+    extraction is recomputed per plane window in VMEM, which is a few
+    VPU rint passes against ~2x the HBM traffic.
 
     The mask row arrives via its BlockSpec index map (NOT a dynamic
     in-kernel ``mask_ref[p]`` index): under ``jax_enable_x64`` the
@@ -135,10 +172,14 @@ def _spmv_kernel(w_ref, mask_ref, x0_ref, x1_ref, x2_ref,
     Mosaic's ``_convert_helper`` into infinite recursion (jax 0.9.0
     lowering.py:2291), so all in-kernel indexing here is static."""
     width = roww - 2 * MARG
-    planes = (x0_ref, x1_ref, x2_ref)
+    planes = (
+        _extract_block(ph0_ref[0, 0], pl0_ref[0, 0], nchunks),
+        _extract_block(ph1_ref[0, 0], pl1_ref[0, 0], nchunks),
+        _extract_block(ph2_ref[0, 0], pl2_ref[0, 0], nchunks),
+    )
     acc = jnp.zeros((nchunks * d, width), jnp.float32)
     for t in range(len(colshifts)):
-        xr = planes[dxs[t] + 1][0, 0]
+        xr = planes[dxs[t] + 1]
         sl = xr[:, MARG + colshifts[t]:MARG + colshifts[t] + width]
         acc = acc + jax.lax.dot_general(
             w_ref[t], sl, (((1,), (0,)), ((), ())),
@@ -158,11 +199,27 @@ def _spmv_kernel(w_ref, mask_ref, x0_ref, x1_ref, x2_ref,
     hi, lo = fast_two_sum(hi, lo)
     m = mask_ref[0, 0, MARG:MARG + width][None, :]
     sc = jnp.float32(scale)
+    vh = hi * sc * m
+    vl = lo * sc * m
     zero = jnp.zeros((d, MARG), jnp.float32)
-    ohi_ref[0, 0] = jnp.concatenate(
-        [zero, hi * sc * m, zero], axis=1)
-    olo_ref[0, 0] = jnp.concatenate(
-        [zero, lo * sc * m, zero], axis=1)
+    ohi_ref[0, 0] = jnp.concatenate([zero, vh, zero], axis=1)
+    olo_ref[0, 0] = jnp.concatenate([zero, vl, zero], axis=1)
+    # fused partial dot <v|psi> per column (df64: exact products +
+    # compensated row accumulation, the in-kernel half of
+    # stencil_conv.ds_dot_chain); the caller folds the (nxp, roww)
+    # partial maps, so the dot never re-reads v from HBM
+    ch = ph1_ref[0, 0][:, MARG:MARG + width]
+    cl = pl1_ref[0, 0][:, MARG:MARG + width]
+    ph, pe = two_prod(vh, ch)
+    pe = pe + (vh * cl + vl * ch)
+    ah, al = ph[0:1], pe[0:1]
+    for k in range(1, d):
+        s_, e_ = two_sum(ah, ph[k:k + 1])
+        ah, al = s_, al + (e_ + pe[k:k + 1])
+    ah, al = fast_two_sum(ah, al)
+    zero1 = jnp.zeros((1, MARG), jnp.float32)
+    ahi_ref[0, 0] = jnp.concatenate([zero1, ah, zero1], axis=1)
+    alo_ref[0, 0] = jnp.concatenate([zero1, al, zero1], axis=1)
 
 
 def conv_spmv_df64_pallas(wt, mask, psi_ds, h_scale: float, *,
@@ -171,10 +228,13 @@ def conv_spmv_df64_pallas(wt, mask, psi_ds, h_scale: float, *,
     """y = H psi on the flat layout via the fused Pallas SpMV.
 
     wt: (27, QD, QD) bf16; mask: (nxp, roww) f32 device array; psi_ds:
-    df64 pair of (C, nxp, d, roww) f32.  Returns the df64 pair (exact
-    zeros outside cluster cells)."""
-    x = _extract_chunks_flat(psi_ds, nchunks)  # (C, nxp, QD, roww) bf16
-    c, nxp, qd, roww = x.shape
+    df64 pair of (C, nxp, d, roww) f32.  Returns (v_hi, v_lo, a_hi,
+    a_lo): the df64 SpMV pair (exact zeros outside cluster cells) plus
+    the per-column partial-dot maps of <v|psi> (shape (C, nxp, 1,
+    roww)); sum the a maps over (plane, column) for the chain dot."""
+    psi_hi, psi_lo = psi_ds
+    c, nxp, dd, roww = psi_hi.shape
+    qd = nchunks * d
     mask3 = mask[:, None, :]  # (nxp, 1, roww): per-plane mask rows
 
     # Index maps must stay int32-only under jax_enable_x64: weak-int
@@ -194,7 +254,14 @@ def conv_spmv_df64_pallas(wt, mask, psi_ds, h_scale: float, *,
     kern = partial(_spmv_kernel, nchunks=nchunks, d=d, dxs=dxs,
                    colshifts=colshifts, scale=h_scale * 2.0, roww=roww)
     out_shape = jax.ShapeDtypeStruct((c, nxp, d, roww), jnp.float32)
-    ohi, olo = pl.pallas_call(
+    apart_shape = jax.ShapeDtypeStruct((c, nxp, 1, roww), jnp.float32)
+
+    def omap(ci, p):
+        return (ci.astype(jnp.int32), p.astype(jnp.int32), i0, i0)
+
+    psi_spec = lambda off: pl.BlockSpec((1, 1, d, roww), xmap(off),
+                                        memory_space=pltpu.VMEM)
+    ohi, olo, ahi, alo = pl.pallas_call(
         kern,
         grid=(c, nxp),
         in_specs=[
@@ -203,54 +270,111 @@ def conv_spmv_df64_pallas(wt, mask, psi_ds, h_scale: float, *,
             pl.BlockSpec((1, 1, roww),
                          lambda ci, p: (p.astype(jnp.int32), i0, i0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, qd, roww), xmap(-1),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, qd, roww), xmap(0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, qd, roww), xmap(1),
-                         memory_space=pltpu.VMEM),
+            psi_spec(-1), psi_spec(-1),
+            psi_spec(0), psi_spec(0),
+            psi_spec(1), psi_spec(1),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, d, roww),
-                         lambda ci, p: (ci.astype(jnp.int32),
-                                        p.astype(jnp.int32), i0, i0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d, roww),
-                         lambda ci, p: (ci.astype(jnp.int32),
-                                        p.astype(jnp.int32), i0, i0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, roww), omap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, roww), omap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, roww), omap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, roww), omap, memory_space=pltpu.VMEM),
         ),
-        out_shape=(out_shape, out_shape),
+        out_shape=(out_shape, out_shape, apart_shape, apart_shape),
         cost_estimate=pl.CostEstimate(
             flops=2 * c * nxp * 27 * qd * qd * (roww - 2 * MARG),
-            bytes_accessed=3 * c * nxp * qd * roww * 2
+            bytes_accessed=6 * c * nxp * d * roww * 4
             + 2 * c * nxp * d * roww * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(wt, mask3, x, x, x)
-    return ohi, olo
+    )(wt, mask3, psi_hi, psi_lo, psi_hi, psi_lo, psi_hi, psi_lo)
+    return ohi, olo, ahi, alo
 
 
-def _extract_chunks_flat(y, nchunks: int):
-    """rint chunk extraction on the flat layout: (C, nxp, d, roww) f32
-    pair -> (C, nxp, nchunks*d, roww) bf16 (chunk-major groups along
-    axis 2; see stencil_conv._extract_chunks_chan)."""
-    hi, lo = y
-    r = hi * jnp.float32(0.5)
-    w_lo = lo * jnp.float32(0.5)
-    outs = []
-    for k in range(nchunks):
-        q = jnp.float32(2.0 ** (-df64.CHUNK_BITS * (k + 1)))
-        iq = jnp.float32(2.0 ** (df64.CHUNK_BITS * (k + 1)))
-        ck = jnp.rint(r * iq) * q
-        outs.append(ck.astype(jnp.bfloat16))
-        r = r - ck
-        if k == 2:
-            r, w_lo = two_sum(r, w_lo)
-        elif k == 3:
-            r = r + w_lo
-    return jnp.concatenate(outs, axis=2)
+def _update_kernel(ah_ref, al_ref, psih_ref, psil_ref, vh_ref, vl_ref,
+                   pmnh_ref, pmnl_ref, oh_ref, ol_ref, nh_ref, nl_ref,
+                   *, d: int):
+    """Fused Lanczos update for one (chain, plane) cell:
+
+        pmn' = pmn + v - a * psi          (df64 elementwise)
+        nrm  = column partials of <pmn'|pmn'>   (compensated)
+
+    Replaces three full-wavefront XLA passes (the a*psi axpy, the
+    double ds_add, and the norm dot's re-read) with one HBM pass.
+    Margins and shell planes stay exactly zero (all inputs are zero
+    there), so no mask is needed.  a arrives per chain as an SMEM
+    scalar pair."""
+    ci = pl.program_id(0)  # i32 scalar SMEM load — no i64 involved
+    # broadcast to (1, 1) vectors: two_prod's bit-split uses
+    # tpu.bitcast, which Mosaic only lowers for vector operands
+    ah = jnp.full((1, 1), ah_ref[ci], jnp.float32)
+    al = jnp.full((1, 1), al_ref[ci], jnp.float32)
+    psih = psih_ref[0, 0]
+    psil = psil_ref[0, 0]
+    th, te = two_prod(ah, psih)
+    te = te + (ah * psil + al * psih)
+    s1h, s1l = two_sum(pmnh_ref[0, 0], vh_ref[0, 0])
+    s1l = s1l + (pmnl_ref[0, 0] + vl_ref[0, 0])
+    s1h, s1l = fast_two_sum(s1h, s1l)
+    nh, nl = two_sum(s1h, -th)
+    nl = nl + (s1l - te)
+    nh, nl = fast_two_sum(nh, nl)
+    oh_ref[0, 0] = nh
+    ol_ref[0, 0] = nl
+    ph, pe = two_prod(nh, nh)
+    pe = pe + 2.0 * nh * nl
+    rh, rl = ph[0:1], pe[0:1]
+    for k in range(1, d):
+        s_, e_ = two_sum(rh, ph[k:k + 1])
+        rh, rl = s_, rl + (e_ + pe[k:k + 1])
+    rh, rl = fast_two_sum(rh, rl)
+    nh_ref[0, 0] = rh
+    nl_ref[0, 0] = rl
+
+
+def lanczos_update_pallas(a_ds, psi_ds, v_ds, pmn_ds, *, d: int,
+                          interpret: bool = False):
+    """pmn' = pmn + v - a*psi plus the norm partial maps, fused.
+
+    a_ds: df64 pair of (C,) chain scalars; the array pairs are
+    (C, nxp, d, roww).  Returns (pmn'_hi, pmn'_lo, nrm_hi, nrm_lo) with
+    nrm maps (C, nxp, 1, roww) to be folded by the caller."""
+    psi_hi, psi_lo = psi_ds
+    c, nxp, dd, roww = psi_hi.shape
+    i0 = np.int32(0)
+    a2h = a_ds[0].reshape(c)
+    a2l = a_ds[1].reshape(c)
+
+    def amap(ci, p):
+        return (i0,)
+
+    def omap(ci, p):
+        return (ci.astype(jnp.int32), p.astype(jnp.int32), i0, i0)
+
+    blk = pl.BlockSpec((1, 1, d, roww), omap, memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec((c,), amap, memory_space=pltpu.SMEM)
+    out_shape = jax.ShapeDtypeStruct((c, nxp, d, roww), jnp.float32)
+    nrm_shape = jax.ShapeDtypeStruct((c, nxp, 1, roww), jnp.float32)
+    kern = partial(_update_kernel, d=d)
+    oh, ol, nh, nl = pl.pallas_call(
+        kern,
+        grid=(c, nxp),
+        in_specs=[sblk, sblk, blk, blk, blk, blk, blk, blk],
+        out_specs=(
+            blk, blk,
+            pl.BlockSpec((1, 1, 1, roww), omap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, roww), omap, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(out_shape, out_shape, nrm_shape, nrm_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * c * nxp * d * roww,
+            bytes_accessed=8 * c * nxp * d * roww * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a2h, a2l, psi_hi, psi_lo, v_ds[0], v_ds[1], pmn_ds[0], pmn_ds[1])
+    return oh, ol, nh, nl
 
 
 @partial(jax.jit, static_argnames=("h_scale", "lld", "nchunks", "d",
@@ -265,14 +389,25 @@ def _lanczos_flat_df64_jit(wt, mask, psi0_hi, psi0_lo, h_scale: float,
     def step(carry, _):
         psi_hi, psi_lo, pmn_hi, pmn_lo, sp_hi, sp_lo = carry
         psi = (psi_hi, psi_lo)
-        v = conv_spmv_df64_pallas(wt, mask, psi, hs, nchunks=nchunks,
-                                  d=d, dxs=dxs, colshifts=colshifts,
-                                  interpret=interpret)
-        a_ll = ds_dot_chain(v, psi)
-        t = ds_mul((a_ll[0][:, None, None, None],
-                    a_ll[1][:, None, None, None]), psi)
-        pmn = ds_add(ds_add((pmn_hi, pmn_lo), v), (-t[0], -t[1]))
-        summ = ds_dot_chain(pmn, pmn)
+        vh, vl, aph, apl = conv_spmv_df64_pallas(
+            wt, mask, psi, hs, nchunks=nchunks, d=d, dxs=dxs,
+            colshifts=colshifts, interpret=interpret)
+        v = (vh, vl)
+        # fold the kernel's per-column partial-dot maps (C, nxp, roww):
+        # the <v|psi> dot without re-reading v from HBM
+        ah, al = aph[:, :, 0, :], apl[:, :, 0, :]
+        while ah.ndim > 1:
+            ah, al = _fold_halves(ah, al)
+        a_ll = (ah, al)
+        # fused update kernel: pmn' = pmn + v - a*psi and the norm
+        # partial maps in ONE pass (vs 3 XLA passes + a dot re-read)
+        ph_, pl_, nh_, nl_ = lanczos_update_pallas(
+            a_ll, psi, v, (pmn_hi, pmn_lo), d=d, interpret=interpret)
+        pmn = (ph_, pl_)
+        sh, sl = nh_[:, :, 0, :], nl_[:, :, 0, :]
+        while sh.ndim > 1:
+            sh, sl = _fold_halves(sh, sl)
+        summ = (sh, sl)
         s = ds_sqrt(summ)
         rinv = ds_recip(s)
         psi_new = ds_mul((rinv[0][:, None, None, None],

@@ -60,10 +60,16 @@ def test_flat_spmv_matches_conv_engine(small_system):
         psi_box[:, :, st.coords[:, 0], st.coords[:, 1], st.coords[:, 2]],
         2, 0)
     pf = (jnp.asarray(flat), jnp.zeros_like(jnp.asarray(flat)))
-    vh, vl = pc.conv_spmv_df64_pallas(wt, jnp.asarray(fs.mask), pf, hsc,
-                                      nchunks=7, d=18, dxs=dxs,
-                                      colshifts=colshifts, interpret=True)
+    vh, vl, aph, apl = pc.conv_spmv_df64_pallas(
+        wt, jnp.asarray(fs.mask), pf, hsc, nchunks=7, d=18, dxs=dxs,
+        colshifts=colshifts, interpret=True)
     vfl = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+    # the fused partial-dot maps must sum to <v|psi> per chain
+    apart = (np.asarray(aph, np.float64)
+             + np.asarray(apl, np.float64)).sum(axis=(1, 2, 3))
+    flat64 = flat.astype(np.float64)
+    want = np.einsum("cpdr,cpdr->c", vfl, flat64)
+    assert np.abs(apart - want).max() <= 1e-12 * max(1.0, np.abs(want).max())
     vg = vfl[:, fs.planes, :, fs.cols]  # (kk, c, 18)
     ref = np.moveaxis(
         v_ref[:, :, st.coords[:, 0], st.coords[:, 1], st.coords[:, 2]],

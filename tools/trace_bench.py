@@ -1,4 +1,7 @@
 #!/usr/bin/env python3
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 """Capture a perfetto trace of the conv-df64 bench step and summarize."""
 import glob
 import gzip
