@@ -70,13 +70,45 @@ def _onsite18(mat: jnp.ndarray, iz: jnp.ndarray, psi: jnp.ndarray
     return jnp.einsum("iab,ribc->riac", mi, psi[:, :-1])
 
 
+def gram_sum(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Chain Gram blocks out[r, a, c] = sum_{i,b} x[r,i,b,a] y[r,i,b,c].
+
+    NOT a single fused einsum on accelerators: XLA's emulated-f64 TPU
+    lowering silently demotes dot_generals that carry a batch dimension
+    together with a large (or multi-axis) contraction to f32 quality
+    (measured 3e-6 abs on the bcc test cluster, vs 7e-13 decomposed).
+    The per-atom batched matmul keeps the contraction small (d), which
+    the rewrite handles, and the cluster sum runs as an exact f64
+    reduction.  On CPU the fused contraction is accurate and cheaper.
+    Callers pass x already conjugated where complex."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return jnp.einsum("riba,ribc->rac", x, y)
+    return jnp.einsum("riba,ribc->riac", x, y).sum(axis=1)
+
+
 def _eig_sqrt(b2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """B = U sqrt(ev) U^H and B^-1 from the Hermitian eigendecomposition
-    (crecal_b :1977-1999, zheev-based square root)."""
+    (crecal_b :1977-1999, zheev-based square root).
+
+    TPU's eigh kernel runs at f32 quality even for (emulated) f64
+    inputs, which alone put ~3e-7 on the recursion coefficients.  The
+    eigendecomposition is therefore only the INITIAL GUESS: one Newton
+    step on the inverse (X <- X(2I - B X), quadratic) and one Babylonian
+    step on the root (B <- (B + b2 X)/2) push both back to f64 roundoff
+    — pure matmuls, which the emulated-f64 backend computes accurately.
+    On CPU (exact eigh) the refinement is an exact-point no-op."""
     ev, u = jnp.linalg.eigh(b2)
     lam = jnp.sqrt(ev.astype(b2.dtype))
     b = jnp.einsum("...ab,...b,...cb->...ac", u, lam, u.conj())
     b_i = jnp.einsum("...ab,...b,...cb->...ac", u, 1.0 / lam, u.conj())
+    eye = jnp.eye(b2.shape[-1], dtype=b2.dtype)
+    mm = lambda x, y: jnp.einsum("...ab,...bc->...ac", x, y)
+    herm = lambda x: 0.5 * (x + jnp.swapaxes(x.conj(), -1, -2))
+    b_i = mm(b_i, 2.0 * eye - mm(b, b_i))  # Newton: X ~= B^-1 to E^2
+    b = herm(0.5 * (b + mm(b2, b_i)))  # Babylonian: B ~= sqrt(b2) to E^2
+    b_i = herm(mm(b_i, 2.0 * eye - mm(b, b_i)))  # re-pair X with new B
     return b, b_i
 
 
@@ -119,10 +151,10 @@ def block_lanczos(
     def step(carry, _):
         psi, pmn, sum_b_prev = carry
         hpsi = apply_h(psi)
-        a_ll = jnp.einsum("riba,ribc->rac", psi[:, :-1].conj(), hpsi)
+        a_ll = gram_sum(psi[:, :-1].conj(), hpsi)
         pmn = hpsi - pmn
         pmn = pmn - jnp.einsum("riab,rbc->riac", psi[:, :-1], a_ll)
-        b2 = jnp.einsum("riba,ribc->rac", pmn.conj(), pmn)
+        b2 = gram_sum(pmn.conj(), pmn)
         b, b_i = _eig_sqrt(b2)
         psi_new = jnp.einsum("riab,rbc->riac", pmn, b_i)
         pmn_new = jnp.einsum("riab,rbc->riac", psi[:, :-1], b)

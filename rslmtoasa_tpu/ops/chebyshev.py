@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .block_lanczos import _onsite18, _spmv18
+from .block_lanczos import _onsite18, _spmv18, gram_sum
 
 
 @partial(jax.jit, static_argnames=("lld", "hoh"))
@@ -63,15 +63,15 @@ def chebyshev_moments(
             [x, jnp.zeros((r, 1, d, d), x.dtype)], axis=1
         )
 
-    mu0 = jnp.einsum("riba,ribc->rac", psi0[:, :-1].conj(), psi0[:, :-1])
+    mu0 = gram_sum(psi0[:, :-1].conj(), psi0[:, :-1])
     psi1 = pad(apply_h(psi0))
-    mu1 = jnp.einsum("riba,ribc->rac", psi0[:, :-1].conj(), psi1[:, :-1])
+    mu1 = gram_sum(psi0[:, :-1].conj(), psi1[:, :-1])
 
     def step(carry, _):
         p0, p1 = carry
         p2 = 2.0 * apply_h(p1) - p0[:, :-1]
-        d1 = jnp.einsum("riba,ribc->rac", p1[:, :-1].conj(), p1[:, :-1])
-        d2 = jnp.einsum("riba,ribc->rac", p2.conj(), p1[:, :-1])
+        d1 = gram_sum(p1[:, :-1].conj(), p1[:, :-1])
+        d2 = gram_sum(p2.conj(), p1[:, :-1])
         mu_odd = 2.0 * d1 - mu0
         mu_even = 2.0 * d2 - mu1
         return (p1, pad(p2)), (mu_odd, mu_even)

@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .block_lanczos import _eig_sqrt
+from .block_lanczos import _eig_sqrt, gram_sum
 
 
 # ------------------------------------------------------------------
@@ -233,10 +233,10 @@ def _block_stage(hs, lsham, iz_n, cols_n, psi, pmn, sum_b,
     def step(carry, _):
         psi, pmn, sum_b_prev = carry
         hpsi = apply_h(psi)
-        a_ll = jnp.einsum("riba,ribc->rac", psi[:, :-1].conj(), hpsi)
+        a_ll = gram_sum(psi[:, :-1].conj(), hpsi)
         pmn = hpsi - pmn
         pmn = pmn - jnp.einsum("riab,rbc->riac", psi[:, :-1], a_ll)
-        b2 = jnp.einsum("riba,ribc->rac", pmn.conj(), pmn)
+        b2 = gram_sum(pmn.conj(), pmn)
         bm, b_i = _eig_sqrt(b2)
         psi_new = jnp.einsum("riab,rbc->riac", pmn, b_i)
         pmn_new = jnp.einsum("riab,rbc->riac", psi[:, :-1], bm)
@@ -329,15 +329,15 @@ def _cheb_stage(hs, lsham, iz_n, cols_n, p0, p1, mu0, mu1, a, b,
             [x, jnp.zeros((r, 1, d, d), x.dtype)], axis=1)
 
     if first:
-        mu0 = jnp.einsum("riba,ribc->rac", p0[:, :-1].conj(), p0[:, :-1])
+        mu0 = gram_sum(p0[:, :-1].conj(), p0[:, :-1])
         p1 = pad(apply_h(p0))
-        mu1 = jnp.einsum("riba,ribc->rac", p0[:, :-1].conj(), p1[:, :-1])
+        mu1 = gram_sum(p0[:, :-1].conj(), p1[:, :-1])
 
     def step(carry, _):
         q0, q1 = carry
         q2 = 2.0 * apply_h(q1) - q0[:, :-1]
-        d1 = jnp.einsum("riba,ribc->rac", q1[:, :-1].conj(), q1[:, :-1])
-        d2 = jnp.einsum("riba,ribc->rac", q2.conj(), q1[:, :-1])
+        d1 = gram_sum(q1[:, :-1].conj(), q1[:, :-1])
+        d2 = gram_sum(q2.conj(), q1[:, :-1])
         return (q1, pad(q2)), (2.0 * d1 - mu0, 2.0 * d2 - mu1)
 
     (p0, p1), (mu_odd, mu_even) = jax.lax.scan(

@@ -151,6 +151,18 @@ def main() -> int:
     check("conv df64 lanczos (TPU)", a_conv, np.asarray(a_cref), 1e-8)
     check("conv df64 b2", b2_conv, np.asarray(b2_cref), 1e-8)
 
+    # ---- 5. fused Pallas flat-stencil df64 (the production engine) -----
+    from rslmtoasa_tpu.ops import pallas_conv as pc
+
+    fs = pc.build_flat_stencil(st)
+    wt, hsc, dxs, colshifts = pc.pack_flat_kernel(
+        np.asarray(split_complex(blk[0])), st)
+    p0 = pc.flat_start_vectors(fs, [0], 18, orbitals=range(9))
+    a_pl, b2_pl = pc.lanczos_coefficients_flat_df64(
+        wt, hsc, fs.mask, p0, lld, dxs=dxs, colshifts=colshifts)
+    check("pallas df64 lanczos (TPU)", a_pl, np.asarray(a_cref), 1e-8)
+    check("pallas df64 b2", b2_pl, np.asarray(b2_cref), 1e-8)
+
     print("TPU selftest:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
