@@ -107,6 +107,13 @@ def run_calculation(cfg: JobConfig, workdir: str = ".") -> int:
     os.makedirs(workdir, exist_ok=True)
     sys_ = BulkSystem.build(cfg, workdir)
 
+    from .utils import artifacts
+
+    if artifacts.wanted(cfg):
+        # clust/map/sbar/str.out interop exports (structb writes,
+        # lattice.f90:1819+); mad.mat follows once the SCF builds it
+        artifacts.export_geometry(sys_, workdir)
+
     if post in ("paoflow2rs", "exchange_p2rs", "conductivity_p2rs"):
         # import an external PAOFLOW TB Hamiltonian in place of the
         # LMTO-built one (post_processing_paoflow2rs, calculation.f90

@@ -138,6 +138,9 @@ class LatticeCfg:
     no: Optional[np.ndarray] = None
     izpsurf: Optional[np.ndarray] = None
     inclu: Optional[np.ndarray] = None
+    #: export clust/map/sbar/str.out/mad.mat geometry artifacts for
+    #: reference-tooling interop (lattice.f90:1819+, charge.f90:1823)
+    write_artifacts: bool = False
 
     @classmethod
     def from_namelists(cls, nml: Namelists) -> "LatticeCfg":
@@ -147,7 +150,7 @@ class LatticeCfg:
             return c
         for k in (
             "ndim npe rc r2 alat celldm wav crystal_sym ntype nbas nrec surftype "
-            "nlay nclu pbc b1 b2 b3 n1 n2 n3 njij njijk"
+            "nlay nclu pbc b1 b2 b3 n1 n2 n3 njij njijk write_artifacts"
         ).split():
             if g.has(k):
                 setattr(c, k, g.get_scalar(k, getattr(c, k)))

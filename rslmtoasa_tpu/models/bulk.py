@@ -189,19 +189,25 @@ class BulkSystem:
                     # conv lowering); radius-1 stencils only
                     a = None
                     if not os.environ.get("RSLMTO_NO_PALLAS"):
-                        try:
-                            from ..ops import pallas_conv as pc
+                        from ..ops import pallas_conv as pc
 
+                        try:
+                            # the documented ValueError sources: wide
+                            # stencil / oversized box during packing
                             fs = pc.build_flat_stencil(conv_st)
                             wt, hsc, dxs, cshift = pc.pack_flat_kernel(
                                 hs_split, conv_st)
+                        except ValueError as e:
+                            fs = None
+                            g_logger.info(
+                                "Pallas flat engine unavailable "
+                                f"({e}); using conv-stencil engine")
+                        if fs is not None:
                             p0 = pc.flat_start_vectors(
                                 fs, rec_atoms, 18, orbitals=range(9))
                             a, b2 = pc.lanczos_coefficients_flat_df64(
                                 wt, hsc, fs.mask, p0, lld, dxs=dxs,
                                 colshifts=cshift)
-                        except ValueError:
-                            a = None  # wide stencil / oversized box
                     if a is None:
                         from ..ops.stencil_conv import (
                             conv_start_vectors,
@@ -327,6 +333,7 @@ class BulkSystem:
                 blocks, lsham, iz_rows, hb.cols, psi0, lld,
                 hoh=hoh, hso=blocks_o if hoh else None,
                 enim=hb.enim if hoh else None, iz_onsite=iz_sp,
+                cluster=cl if hb.blocks is None else None,
             )
         return a_b, b2_b
 
@@ -361,6 +368,7 @@ class BulkSystem:
                 blocks, lsham, iz_rows, hb.cols, psi0, lld, a, b,
                 hoh=hoh, hso=blocks_o if hoh else None,
                 enim=hb.enim if hoh else None, iz_onsite=iz_sp,
+                cluster=cl if hb.blocks is None else None,
             )
         return np.asarray(mu)
 

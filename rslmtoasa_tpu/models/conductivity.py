@@ -49,18 +49,24 @@ S_Y[9:, :9] = 0.5j * np.eye(9)
 
 def build_velocity_operators(sys: BulkSystem, v_alpha, v_beta,
                              velocity_scale=None):
-    """Velocity-operator ELL blocks (v_a, v_b) per type/slot."""
+    """Velocity-operator ELL blocks (v_a, v_b) per type/slot, plus the
+    HoH overlap tables vo = v @ obarm[type(j)] per neighbor slot
+    (``build_realspace_velocity_operators`` :1355-1360) when the
+    Hamiltonian carries HoH data (zeros otherwise)."""
     cl = sys.cluster
     hb = sys.ham
     ntype, nslots = hb.ee.shape[0], hb.ee.shape[1]
     v_a = np.zeros_like(hb.ee)
     v_b = np.zeros_like(hb.ee)
+    vo_a = np.zeros_like(hb.ee)
+    vo_b = np.zeros_like(hb.ee)
     dir_a = np.asarray(v_alpha, float)
     dir_a /= np.linalg.norm(dir_a)
     dir_b = np.asarray(v_beta, float)
     dir_b /= np.linalg.norm(dir_b)
     if velocity_scale is None:
         velocity_scale = np.ones(ntype)
+    hoh = hb.obarm is not None
     for t in range(ntype):
         ia = int(cl.atlist[t]) - 1
         nd = cl.dirs[int(cl.num[ia]) - 1].shape[0]
@@ -75,7 +81,10 @@ def build_velocity_operators(sys: BulkSystem, v_alpha, v_beta,
             jt = int(cl.iz[jj]) - 1
             vsc = max(velocity_scale[t], velocity_scale[jt])
             v_b[t, m] = (1.0 / 1j) * dot_b * hb.ee[t, m] * vsc
-    return v_a, v_b
+            if hoh:
+                vo_a[t, m] = v_a[t, m] @ hb.obarm[jt]
+                vo_b[t, m] = v_b[t, m] @ hb.obarm[jt]
+    return v_a, v_b, vo_a, vo_b
 
 
 def spin_current(v: np.ndarray, pol: str = "z") -> np.ndarray:
@@ -110,55 +119,72 @@ def _onsite_table(op: np.ndarray, like: np.ndarray) -> np.ndarray:
 
 
 def build_kubo_operator(sys: BulkSystem, op_type: str, pol: str,
-                        v_dir, velocity_scale=None) -> np.ndarray:
-    """ELL operator table for one Kubo slot (``recursion.f90
-    set_kubo_operator_slot`` :242-585 + the hamiltonian builders
-    :490-840).
+                        v_dir, velocity_scale=None):
+    """ELL operator tables ``(op, op_o)`` for one Kubo slot
+    (``recursion.f90 set_kubo_operator_slot`` :242-585 + the
+    hamiltonian builders :490-840).  ``op_o`` is the HoH overlap
+    companion used by ``velo_hoh_vec_matmul`` (zeros when HoH is off
+    or the operator has no overlap image).
 
     op_type: charge | spin | orbital | spin_accumulation |
     orbital_accumulation | spin_torque | spin_soc_torque |
     orbital_torque.
     """
     hb = sys.ham
-    v, _ = build_velocity_operators(sys, v_dir, v_dir, velocity_scale)
+    v, _, vo, _ = build_velocity_operators(sys, v_dir, v_dir,
+                                           velocity_scale)
     s_op = {"x": S_X, "y": S_Y, "z": S_Z}.get(pol, S_Z)
     ntype = hb.ee.shape[0]
     lsh = hb.lsham if hb.lsham is not None else np.zeros(
         (ntype, 18, 18), np.complex128)
+    zeros = np.zeros_like(hb.ee)
     if op_type == "charge":
-        return v
+        return v, vo
     if op_type == "spin":
-        return spin_current(v, pol)
+        # jso = 1/2 {S, vo} (build_realspace_spin_operators :532-549)
+        return spin_current(v, pol), spin_current(vo, pol)
     if op_type == "orbital":
-        return orbital_current(v, pol)
+        return orbital_current(v, pol), orbital_current(vo, pol)
     if op_type == "spin_accumulation":
-        # bare S_pol on the onsite slot
-        return _onsite_table(s_op, hb.ee)
+        # bare S_pol on the onsite slot; no overlap image (vo_a zeroed,
+        # compute_moments_stochastic :1046-1051)
+        return _onsite_table(s_op, hb.ee), zeros
     if op_type == "orbital_accumulation":
-        return _onsite_table(_l_op18(pol), hb.ee)
+        return _onsite_table(_l_op18(pol), hb.ee), zeros
     if op_type in ("spin_soc_torque", "soc_spin_torque"):
-        # (1/i)[S_pol, H_soc] on the onsite slot (:656-696)
+        # (1/i)[S_pol, H_soc] on the onsite slot (:658-703); in HoH the
+        # reference reuses the same operator as its overlap container
         out = np.zeros_like(hb.ee)
         out[:, 0] = (1.0 / 1j) * (np.einsum("ab,tbc->tac", s_op, lsh)
                                   - np.einsum("tab,bc->tac", lsh, s_op))
-        return out
+        return out, (out.copy() if hb.obarm is not None else zeros)
     if op_type == "spin_torque":
         # (1/i)[S_pol, hxc] per slot, hxc = spin-odd (exchange-field)
-        # part of each block: ee - I2 (x) (uu + dd)/2 (:698-740;
-        # hxc assembly build_bulkham :1573-1576)
+        # part of each block: ee - I2 (x) (uu + dd)/2 (:711-763;
+        # hxc assembly build_bulkham :1573-1576).  The HoH o-table is
+        # disabled in the reference (:745-756 commented out).
         hxc = hb.ee.copy()
         h0 = 0.5 * (hb.ee[:, :, :9, :9] + hb.ee[:, :, 9:, 9:])
         hxc[:, :, :9, :9] -= h0
         hxc[:, :, 9:, 9:] -= h0
         return (1.0 / 1j) * (np.einsum("ab,tmbc->tmac", s_op, hxc)
-                             - np.einsum("tmab,bc->tmac", hxc, s_op))
+                             - np.einsum("tmab,bc->tmac", hxc, s_op)), zeros
     if op_type == "orbital_torque":
-        # (1/i)[L_pol, H] with lsham added on the onsite slot (:755-840)
+        # (1/i)[L_pol, H] with lsham added on the onsite slot (:773-825);
+        # HoH o-table is the same commutator over eeo (:807-818)
         l_op = _l_op18(pol)
         h = hb.ee.copy()
         h[:, 0] += lsh
-        return (1.0 / 1j) * (np.einsum("ab,tmbc->tmac", l_op, h)
-                             - np.einsum("tmab,bc->tmac", h, l_op))
+        out = (1.0 / 1j) * (np.einsum("ab,tmbc->tmac", l_op, h)
+                            - np.einsum("tmab,bc->tmac", h, l_op))
+        if hb.obarm is not None and hb.eeo is not None:
+            ho = hb.eeo.copy()
+            ho[:, 0] += lsh
+            out_o = (1.0 / 1j) * (np.einsum("ab,tmbc->tmac", l_op, ho)
+                                  - np.einsum("tmab,bc->tmac", ho, l_op))
+        else:
+            out_o = zeros
+        return out, out_o
     raise ValueError(f"unknown Kubo operator type {op_type!r}")
 
 
@@ -201,27 +227,32 @@ class ConductivityCalculation:
         linear_in = cfg.control.linear_in
         if cond_type == "spin" and linear_out == "charge":
             linear_out = "spin"
-        v_a = build_kubo_operator(sys, linear_out, pol_alpha, v_alpha)
-        v_b = build_kubo_operator(sys, linear_in, pol_beta, v_beta)
+        v_a, vo_a = build_kubo_operator(sys, linear_out, pol_alpha, v_alpha)
+        v_b, vo_b = build_kubo_operator(sys, linear_in, pol_beta, v_beta)
 
         cond_ll = cfg.control.cond_ll
         a = (emesh.energy_max - emesh.energy_min) / (2.0 - 0.3)
         b = (emesh.energy_max + emesh.energy_min) / 2.0
 
         with g_timer.section("kubo-moments"):
-            mu_nm = self.compute_moments(v_a, v_b, a, b, cond_ll)
+            mu_nm = self.compute_moments(v_a, v_b, a, b, cond_ll,
+                                         vo_a=vo_a, vo_b=vo_b)
 
         with g_timer.section("gamma-and-integrals"):
             self.conductivity_tensor(mu_nm, emesh, a, b, cond_ll)
         return mu_nm
 
     # ------------------------------------------------------------------
-    def compute_moments(self, v_a, v_b, a, b, cond_ll):
+    def compute_moments(self, v_a, v_b, a, b, cond_ll, *,
+                        vo_a=None, vo_b=None):
         """mu_nm (18, 18, n, m, ntype): two-sided Chebyshev moments.
 
         Per-type unit-block start vectors (``cond_calctype='per_type'``).
         Device path: scaled-H application is the same block SpMV as the
-        recursion engines.
+        recursion engines.  When the Hamiltonian carries HoH data the
+        whole chain switches to the HoH-corrected H and v - vo.(h .)
+        velocity applications (ham_hoh_vec_matmul /
+        velo_hoh_vec_matmul, recursion.f90:656-912).
         """
         sys = self.sys
         cl = sys.cluster
@@ -231,15 +262,23 @@ class ConductivityCalculation:
         cols = np.asarray(hb.cols)
         lsh = hb.lsham if hb.lsham is not None else np.zeros(
             (ntype, 18, 18), np.complex128)
+        hoh = bool(self.cfg.hamiltonian.hoh) and hb.eeo is not None
+        enim = hb.enim if hb.enim is not None else np.zeros_like(lsh)
+        eeo = hb.eeo if hb.eeo is not None else np.zeros_like(hb.ee)
+        if vo_a is None:
+            vo_a = np.zeros_like(v_a)
+        if vo_b is None:
+            vo_b = np.zeros_like(v_b)
 
         from ..ops.kubo import kubo_moments
 
         # device path: blocked left-chain storage, lax.scan right chains.
         # CPU: complex128.  TPU (no complex dtypes on the backend):
-        # realified 36x36 f32 blocks -- realify commutes with products
-        # and adjoints, so the engine runs unchanged and mu is recovered
-        # from the real image (KPM noise floor far below the Lorentz
-        # kernel broadening).
+        # realified 36x36 f32 blocks with Precision.HIGHEST on every
+        # contraction -- realify commutes with products and adjoints, so
+        # the engine runs unchanged and mu is recovered from the real
+        # image; HIGHEST stops the default bf16 demotion of f32 dots
+        # that put the device moments 44x outside the selftest gate.
         realified = jax.default_backend() != "cpu"
         if realified:
             from ..ops.block_lanczos import realify_blocks
@@ -248,6 +287,10 @@ class ConductivityCalculation:
             jlsh = jnp.asarray(realify_blocks(lsh), jnp.float32)
             jva = jnp.asarray(realify_blocks(v_a), jnp.float32)
             jvb = jnp.asarray(realify_blocks(v_b), jnp.float32)
+            jvoa = jnp.asarray(realify_blocks(vo_a), jnp.float32)
+            jvob = jnp.asarray(realify_blocks(vo_b), jnp.float32)
+            jeeo = jnp.asarray(realify_blocks(eeo), jnp.float32)
+            jenim = jnp.asarray(realify_blocks(enim), jnp.float32)
             d = 36
             itemsize = 4
         else:
@@ -255,6 +298,10 @@ class ConductivityCalculation:
             jlsh = jnp.asarray(lsh)
             jva = jnp.asarray(v_a)
             jvb = jnp.asarray(v_b)
+            jvoa = jnp.asarray(vo_a)
+            jvob = jnp.asarray(vo_b)
+            jeeo = jnp.asarray(eeo)
+            jenim = jnp.asarray(enim)
             d = 18
             itemsize = 16
         # bound the stored left block: each right-chain replay costs a
@@ -265,25 +312,82 @@ class ConductivityCalculation:
         block_size = int(min(cond_ll, max(8, budget // per_vec)))
         jiz = jnp.asarray(iz)
         jcols = jnp.asarray(cols)
-        mu = np.zeros((18, 18, cond_ll, cond_ll, ntype), np.complex128)
-        for t in range(ntype):
-            j = int(cl.atlist[t]) - 1
-            psiref = np.zeros((cl.kk, d, d),
-                              np.float32 if realified else np.complex128)
-            psiref[j] = np.eye(d)
-            mu_t = kubo_moments(
-                jb, jlsh, jiz, jcols, jva, jvb, jnp.asarray(psiref),
+        # start-vector mode: per-type unit blocks, or random-phase trace
+        # sampling (cond_calctype='random_vec',
+        # compute_moments_stochastic :1120-1143: one phase per atom on
+        # all 18 diagonal orbitals, normalised by sqrt(kk)).  The RNG is
+        # seeded for self-reproducibility (the reference reseeds from
+        # the OS per run).
+        calctype = getattr(self.cfg.control, "cond_calctype", "per_type")
+        nvec = int(getattr(self.cfg.control, "random_vec_num", 1))
+        loop_over = ntype if calctype == "per_type" else nvec
+        rng = np.random.default_rng(20260821)
+        mu = np.zeros((18, 18, cond_ll, cond_ll, loop_over), np.complex128)
+
+        def _psiref(t):
+            if calctype == "per_type":
+                j = int(cl.atlist[t]) - 1
+                p = np.zeros((cl.kk, d, d),
+                             np.float32 if realified else np.complex128)
+                p[j] = np.eye(d)
+                return p
+            ph = np.exp(2j * np.pi * rng.random(cl.kk)) \
+                / np.sqrt(float(cl.kk))
+            pc = np.zeros((cl.kk, 18, 18), np.complex128)
+            idx = np.arange(18)
+            pc[:, idx, idx] = ph[:, None]
+            if realified:
+                from ..ops.block_lanczos import realify_blocks
+
+                return realify_blocks(pc).astype(np.float32)
+            return pc
+
+        def _one(psiref_dev):
+            return kubo_moments(
+                jb, jlsh, jiz, jcols, jva, jvb, psiref_dev,
                 n_moments=cond_ll, block_size=block_size,
                 a=float(a), b=float(b),
+                hoh=hoh, vo_a=jvoa, vo_b=jvob, blocks_o=jeeo,
+                enim=jenim, highest=realified,
             )
-            mu_t = np.asarray(mu_t)
+
+        from ..parallel.dispatch import get_mesh
+
+        mesh = get_mesh()
+        if mesh is not None and loop_over > 1:
+            # type / random-vector partition over the device mesh (the
+            # reference's get_mpi_variables(rank, ntype),
+            # calculation.f90:1002): the per-unit start blocks become a
+            # sharded batch axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndev = int(np.prod(list(mesh.shape.values())))
+            t_pad = -(-loop_over // ndev) * ndev
+            refs = [_psiref(t) for t in range(loop_over)]
+            stack = np.stack(refs + [refs[-1]] * (t_pad - loop_over))
+            fn = jax.jit(jax.vmap(_one),
+                         in_shardings=NamedSharding(mesh, P("chains")))
+            mu_all = np.asarray(fn(jnp.asarray(stack)))[:loop_over]
+            for t in range(loop_over):
+                mu_t = mu_all[t]
+                if realified:
+                    from ..ops.block_lanczos import unrealify_blocks
+
+                    mu_t = unrealify_blocks(mu_t)
+                mu[:, :, :, :, t] = np.transpose(mu_t, (2, 3, 0, 1))
+            g_logger.info(f"Kubo moments done for {loop_over} "
+                          f"{calctype} units "
+                          f"(mesh-sharded over {ndev} devices)")
+            return mu
+        for t in range(loop_over):
+            mu_t = np.asarray(_one(jnp.asarray(_psiref(t))))
             if realified:
                 from ..ops.block_lanczos import unrealify_blocks
 
                 mu_t = unrealify_blocks(mu_t)
             # (n, m, 18, 18) -> mu[l1, l2, n, m]
             mu[:, :, :, :, t] = np.transpose(mu_t, (2, 3, 0, 1))
-            g_logger.info(f"Kubo moments done for type {t + 1}")
+            g_logger.info(f"Kubo moments done for {calctype} unit {t + 1}")
         return mu
 
     # ------------------------------------------------------------------
@@ -321,11 +425,16 @@ class ConductivityCalculation:
             term2 = np.einsum("em,en,lnm->le", cm, tn, m1)
             integrand_at[:, :, t] = (term1 + term2) * pref[None, :] * factor
 
-        self._write_outputs(integrand_at, emesh, w)
+        per_type = getattr(cfg.control, "cond_calctype",
+                           "per_type") == "per_type"
+        self._write_outputs(integrand_at, emesh, w, per_type=per_type)
         return integrand_at
 
     # ------------------------------------------------------------------
-    def _write_outputs(self, integrand_at, emesh, w):
+    def _write_outputs(self, integrand_at, emesh, w, per_type=True):
+        """Totals are averaged over the loop units (types or random
+        vectors, conductivity.f90:322-328); the per-type files exist
+        only for cond_calctype='per_type' (:331-371)."""
         from ..physics.quadrature import simpson_f_cumulative
 
         cfg = self.cfg
@@ -353,7 +462,7 @@ class ConductivityCalculation:
                 for i in range(npts):
                     fh.write(f"{a * w[i] + b - emesh.fermi:16.6e}" + "".join(
                         f"{dat[l, i]:16.6e}" for l in range(18)) + "\n")
-        for t in range(ntype):
+        for t in range(ntype if per_type else 0):
             sym = self.sys.atoms[t].element.symbol
             ot_r = np.stack([cumulative(integrand_at[l, :, t].real)
                              for l in range(18)])
@@ -374,7 +483,7 @@ class ConductivityCalculation:
             for i in range(npts):
                 fh.write(f"{a * w[i] + b - emesh.fermi:16.6e}"
                          f"{cum_r[i]:16.6e}{cum_i[i]:16.6e}\n")
-        for t in range(ntype):
+        for t in range(ntype if per_type else 0):
             sym = self.sys.atoms[t].element.symbol
             yr = integrand_at[:, :, t].real.sum(axis=0)
             yi = integrand_at[:, :, t].imag.sum(axis=0)

@@ -111,6 +111,7 @@ class ExchangeCalculation:
                     hso=hb.eeo if cfg.hamiltonian.hoh else None,
                     enim=hb.enim if cfg.hamiltonian.hoh else None,
                     guard=False,  # chebyshev_recur_ij has no guard
+                    cluster=cl,
                 )
             self.mu = mu
             with g_timer.section("intersite-gf"):
@@ -122,6 +123,7 @@ class ExchangeCalculation:
                     hoh=cfg.hamiltonian.hoh,
                     hso=hb.eeo if cfg.hamiltonian.hoh else None,
                     enim=hb.enim if cfg.hamiltonian.hoh else None,
+                    cluster=cl,
                 )
             a_b = np.asarray(a_b)
             b_b = zsqr(np.asarray(b2_b))

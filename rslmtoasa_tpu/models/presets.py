@@ -69,7 +69,7 @@ def synthetic_bcc_config(rc: float = 50.0, ndim: int = 10000,
 
 
 def build_synthetic_bcc(rc: float = 50.0, ndim: int = 10000, lld: int = 16,
-                        nsp: int = 1):
+                        nsp: int = 1, hoh: bool = False):
     """Geometry + Hamiltonian for the synthetic bcc system.
 
     Returns a ready :class:`~rslmtoasa_tpu.models.bulk.BulkSystem` with the
@@ -78,6 +78,7 @@ def build_synthetic_bcc(rc: float = 50.0, ndim: int = 10000, lld: int = 16,
     from .bulk import BulkSystem
 
     cfg = synthetic_bcc_config(rc=rc, ndim=ndim, lld=lld, nsp=nsp)
+    cfg.hamiltonian.hoh = hoh
     sys_ = BulkSystem.__new__(BulkSystem)
     sys_.cfg = cfg
     sys_.workdir = "."
@@ -95,6 +96,51 @@ def build_synthetic_bcc(rc: float = 50.0, ndim: int = 10000, lld: int = 16,
     neighbor_map(cl, ct1=3.0)
     sys_.cluster = cl
     sys_.sbars, sys_.sbarvecs = sbar_for_cluster(cl.cr_ang, cl.iu, cl.wav, 9.0)
+    sys_.emesh = EnergyMesh.build(cfg.energy)
+    sys_.build_hamiltonian()
+    return sys_
+
+
+def build_synthetic_b2(rc: float = 9.0, ndim: int = 10000, lld: int = 8,
+                       nsp: int = 2, hoh: bool = False):
+    """Two-species B2 (CsCl) synthetic system: the smallest multi-site
+    cell, used to exercise the multi-site conv engines
+    (ops/msconv.py) against the gather engines."""
+    from .bulk import BulkSystem
+
+    cfg = synthetic_bcc_config(rc=rc, ndim=ndim, lld=lld, nsp=nsp)
+    cfg.lattice.crystal_sym = "b2"
+    cfg.lattice.ntype = 2
+    cfg.atoms.labels = ["X", "Y"]
+    cfg.hamiltonian.hoh = hoh
+    sys_ = BulkSystem.__new__(BulkSystem)
+    sys_.cfg = cfg
+    sys_.workdir = "."
+    at2 = synthetic_bcc_atom("Y")
+    at2.potential.center_band[:, 0] = [-0.30, 0.28, -0.15]
+    at2.potential.center_band[:, 1] = [-0.22, 0.31, -0.09]
+    at2.potential.width_band[:, 0] = [0.37, 0.24, 0.11]
+    at2.potential.width_band[:, 1] = [0.37, 0.25, 0.13]
+    sys_.atoms = [synthetic_bcc_atom(), at2]
+    sys_.sbars = None
+    sys_.sbarvecs = None
+    sys_.ham = None
+
+    from ..geometry import (
+        bravais_cluster,
+        neighbor_map,
+        primitive_cell,
+        sbar_for_cluster,
+    )
+    from ..physics.energy_mesh import EnergyMesh
+
+    cell = primitive_cell("b2")
+    cl = bravais_cluster(cell, alat=cfg.lattice.alat, rc=rc, ndim=ndim,
+                         wav=cfg.lattice.wav)
+    neighbor_map(cl, ct1=3.0)
+    sys_.cluster = cl
+    sys_.sbars, sys_.sbarvecs = sbar_for_cluster(cl.cr_ang, cl.iu, cl.wav,
+                                                 9.0)
     sys_.emesh = EnergyMesh.build(cfg.energy)
     sys_.build_hamiltonian()
     return sys_

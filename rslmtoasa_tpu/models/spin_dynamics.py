@@ -52,11 +52,12 @@ class SDParams:
 
 
 class MTGaussian:
-    """Reproducible thermal-field RNG: MT19937 stream + the Marsaglia
-    polar gasdev of the reference (``abspinlib/randomnumbers.f90``
-    ``gasdev`` :214-256 over ``mtprng`` MT19937 state).  Same seed ->
-    same thermal-field trajectory, the reference's reproducibility
-    contract for finite-temperature ASD."""
+    """Self-reproducible thermal-field RNG: MT19937 stream + the
+    Marsaglia polar gasdev (same construction as the reference's
+    ``abspinlib/randomnumbers.f90`` ``gasdev`` :214-256 over ``mtprng``
+    MT19937 state).  Same seed -> same trajectory ACROSS RUNS OF THIS
+    FRAMEWORK; the double stream differs from the Fortran ``mtprng``
+    one, so same-seed trajectories do NOT bit-match the reference."""
 
     def __init__(self, seed: int = 1234):
         self._bits = np.random.Generator(np.random.MT19937(seed))

@@ -100,6 +100,10 @@ def _eig_sqrt(b2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     — pure matmuls, which the emulated-f64 backend computes accurately.
     On CPU (exact eigh) the refinement is an exact-point no-op."""
     ev, u = jnp.linalg.eigh(b2)
+    # clamp against (near-)Lanczos breakdown: a ~zero eigenvalue makes
+    # 1/lam huge and the refinement matmuls can overflow to Inf/NaN
+    # where plain eigh would have stayed finite
+    ev = jnp.maximum(ev, 1e-300 + 1e-14 * ev[..., -1:])
     lam = jnp.sqrt(ev.astype(b2.dtype))
     b = jnp.einsum("...ab,...b,...cb->...ac", u, lam, u.conj())
     b_i = jnp.einsum("...ab,...b,...cb->...ac", u, 1.0 / lam, u.conj())

@@ -198,56 +198,6 @@ def lanczos_coefficients_split(
     return a, b2
 
 
-def stencil_spmv(hs: jnp.ndarray, mask: jnp.ndarray, psi: jnp.ndarray,
-                 offsets) -> jnp.ndarray:
-    """Gather-free stencil block SpMV (single-type path).
-
-    hs: (nslots, B, B) slot blocks; mask: (nbox, nslots); psi: (nbox, B, C);
-    offsets: static tuple of per-slot linear offsets.  Every slot is a
-    dense roll + mask; the contraction collapses to ONE (B x nslots*B) @
-    (nslots*B x nbox*C) matmul — MXU-shaped, no gathers.
-    """
-    rolled = jnp.stack(
-        [jnp.roll(psi, -int(offsets[m]), axis=0) * mask[:, m, None, None]
-         for m in range(len(offsets))],
-        axis=0,
-    )  # (nslots, nbox, B, C)
-    return jnp.einsum("mab,mibc->iac", hs, rolled)
-
-
-@partial(jax.jit, static_argnames=("lld", "offsets"))
-def lanczos_coefficients_stencil(
-    hs: jnp.ndarray,  # (nslots, 2B, 2B) realified slot blocks
-    mask: jnp.ndarray,  # (nbox, nslots)
-    psi0: jnp.ndarray,  # (nbox, 2B, C) realified start vectors
-    lld: int,
-    offsets: tuple,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Haydock recursion on the stencil layout (TPU production path)."""
-    nbox, b2dim, c = psi0.shape
-
-    def step(carry, _):
-        psi, pmn, summ_prev = carry
-        v = stencil_spmv(hs, mask, psi, offsets)
-        a_ll = jnp.sum(v * psi, axis=(0, 1))
-        b2_ll = summ_prev
-        pmn = pmn + v - a_ll[None, None, :] * psi
-        summ = jnp.sum(pmn * pmn, axis=(0, 1))
-        s = jnp.sqrt(summ)
-        psi_new = pmn / s[None, None, :]
-        pmn_new = -psi * s[None, None, :]
-        return (psi_new, pmn_new, summ), (a_ll, b2_ll)
-
-    pmn0 = jnp.zeros((nbox, b2dim, c), dtype=psi0.dtype)
-    summ0 = jnp.ones((c,), dtype=psi0.dtype)
-    (psi, pmn, summ), (a, b2) = jax.lax.scan(
-        step, (psi0, pmn0, summ0), None, length=lld - 1
-    )
-    a = jnp.concatenate([a, jnp.zeros((1, c), a.dtype)], axis=0)
-    b2 = jnp.concatenate([b2, summ[None, :]], axis=0)
-    return a, b2
-
-
 def scalar_start_vectors(kk: int, atom_indices, dtype=jnp.complex128
                          ) -> jnp.ndarray:
     """Unit start vectors for the scalar recursion: one chain per

@@ -44,7 +44,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import df64
 from .df64 import (
-    ds_add,
     ds_mul,
     ds_recip,
     ds_sqrt,
@@ -52,7 +51,7 @@ from .df64 import (
     two_prod,
     two_sum,
 )
-from .stencil_conv import _fold_halves, ds_dot_chain, pack_conv_kernel_df64
+from .stencil_conv import _fold_halves, pack_conv_kernel_df64
 
 MARG = 64  # column margin; must be >= nz + 3
 

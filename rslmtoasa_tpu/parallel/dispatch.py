@@ -39,8 +39,10 @@ _DEV_CACHE_MAX = 24
 
 def dev_cached(arr, realify: bool = False):
     """Device (optionally realified) image of a host array, cached by
-    object identity.  Mutating a cached array in place is unsupported —
-    producers build fresh arrays when values change (and do)."""
+    object identity.  Cached host arrays are frozen
+    (``writeable=False``) so a later in-place mutation raises instead
+    of silently serving a stale device image; producers build fresh
+    arrays when values change (and do)."""
     import jax
     import jax.numpy as jnp
 
@@ -52,6 +54,8 @@ def dev_cached(arr, realify: bool = False):
     ent = _dev_cache.get(key)
     if ent is not None and ent[0] is arr:
         return ent[1]
+    if isinstance(arr, np.ndarray) and arr.flags.owndata:
+        arr.flags.writeable = False  # poison: stale-cache guard
     if realify:
         from ..ops.block_lanczos import realify_blocks
 
@@ -152,8 +156,41 @@ def _wavefront_plan(cols, kk: int, psi0, lld: int, hoh: bool,
     return plan
 
 
+def _ms_engine_for(cluster, hs, lsham, hoh, hso, enim):
+    """Multi-site df64 conv engine for a crystal cluster, or ``None``
+    when the cluster has no constant-offset stencil (impurity zones,
+    wrapped PBC, layered types) or the engine is disabled.
+
+    The stencil geometry is cached on the cluster; the packed kernel
+    depends on the Hamiltonian and is rebuilt per call (the SCF rebuilds
+    the blocks every iteration)."""
+    if cluster is None or os.environ.get("RSLMTO_NO_MSCONV"):
+        return None
+    from ..ops.msconv import MSEngine, build_ms_stencil
+
+    st = getattr(cluster, "_ms_stencil", None)
+    if st is None:
+        if getattr(cluster, "_ms_stencil_failed", False):
+            return None
+        try:
+            st = build_ms_stencil(cluster)
+        except ValueError as e:
+            from ..utils.logger import g_logger
+
+            g_logger.info(f"multi-site conv engine unavailable ({e}); "
+                          "using the gather engine")
+            cluster._ms_stencil_failed = True
+            return None
+        cluster._ms_stencil = st
+    try:
+        return MSEngine(st, hs, lsham, hoh=hoh, hso=hso, enim=enim)
+    except ValueError:
+        return None
+
+
 def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
-                       hso=None, enim=None, iz_onsite=None, starts=None):
+                       hso=None, enim=None, iz_onsite=None, starts=None,
+                       cluster=None):
     """Block recursion over R chains, sharded over the mesh when present.
 
     All inputs host arrays (complex128); returns host (a_b, b2_b) of
@@ -170,14 +207,22 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
 
     from ..ops.block_lanczos import block_lanczos, block_lanczos_split
 
+    accel = jax.default_backend() != "cpu"
     mesh = _mesh_for(np.asarray(psi0).shape[0])
+    eng = None
+    if accel and (iz_onsite is None or np.array_equal(iz_onsite, iz)):
+        # TPU production path: multi-site df64 bucket-conv engine
+        # (ops/msconv.py) — exact SpMV on the MXU, ~1e-11 vs complex128
+        eng = _ms_engine_for(cluster, hs, lsham, hoh, hso, enim)
     if mesh is None:
+        if eng is not None:
+            return eng.block_lanczos(eng.embed(np.asarray(psi0)), lld)
         plan = _wavefront_plan(cols, np.asarray(psi0).shape[1] - 1,
                                psi0, lld, hoh, starts=starts)
         if plan is not None:
             from ..ops.wavefront import block_lanczos_wavefront
 
-            if jax.default_backend() != "cpu":
+            if accel:
                 from ..ops.block_lanczos import (
                     realify_blocks,
                     unrealify_blocks,
@@ -199,29 +244,28 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
                 enim=np.asarray(enim) if enim is not None else None,
                 iz_onsite=(np.asarray(iz_onsite)
                            if iz_onsite is not None else None))
-    if jax.default_backend() != "cpu":
-        # realified engine (no complex on TPU); single-chip today —
-        # multi-TPU sharding rides the same pjit once hardware exists.
-        # Constant tables (cols, iz, psi0) stay device-resident across
-        # SCF iterations via dev_cached (only the Hamiltonian blocks —
-        # rebuilt fresh each iteration — re-upload).
-        from ..ops.block_lanczos import unrealify_blocks
+        if accel:
+            # realified single-device fallback (impurity/surface
+            # clusters without a conv stencil).  Constant tables (cols,
+            # iz, psi0) stay device-resident across SCF iterations via
+            # dev_cached (only the Hamiltonian blocks — rebuilt fresh
+            # each iteration — re-upload).
+            from ..ops.block_lanczos import unrealify_blocks
 
-        a_b, b2_b = block_lanczos(
-            dev_cached(np.asarray(hs), realify=True),
-            dev_cached(np.asarray(lsham), realify=True),
-            dev_cached(np.asarray(iz)), dev_cached(np.asarray(cols)),
-            dev_cached(np.asarray(psi0), realify=True), lld, hoh=hoh,
-            hso=(dev_cached(np.asarray(hso), realify=True)
-                 if hso is not None else None),
-            enim=(dev_cached(np.asarray(enim), realify=True)
-                  if enim is not None else None),
-            iz_onsite=(dev_cached(np.asarray(iz_onsite))
-                       if iz_onsite is not None else None),
-            slot_chunk=3)
-        return unrealify_blocks(np.asarray(a_b)), \
-            unrealify_blocks(np.asarray(b2_b))
-    if mesh is None:
+            a_b, b2_b = block_lanczos(
+                dev_cached(np.asarray(hs), realify=True),
+                dev_cached(np.asarray(lsham), realify=True),
+                dev_cached(np.asarray(iz)), dev_cached(np.asarray(cols)),
+                dev_cached(np.asarray(psi0), realify=True), lld, hoh=hoh,
+                hso=(dev_cached(np.asarray(hso), realify=True)
+                     if hso is not None else None),
+                enim=(dev_cached(np.asarray(enim), realify=True)
+                      if enim is not None else None),
+                iz_onsite=(dev_cached(np.asarray(iz_onsite))
+                           if iz_onsite is not None else None),
+                slot_chunk=3)
+            return unrealify_blocks(np.asarray(a_b)), \
+                unrealify_blocks(np.asarray(b2_b))
         a_b, b2_b = block_lanczos(
             jnp.asarray(hs), jnp.asarray(lsham), jnp.asarray(iz),
             jnp.asarray(cols), jnp.asarray(psi0), lld, hoh=hoh,
@@ -231,6 +275,7 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
             else None)
         return np.asarray(a_b), np.asarray(b2_b)
 
+    # ---- mesh branch (CPU and accelerator backends): chains sharded ----
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     d = int(np.prod(list(mesh.shape.values())))
@@ -238,11 +283,31 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
     psi0_p[r0:] = psi0_p[0] if r0 else 0.0
     rep = NamedSharding(mesh, P())
     r_shard = NamedSharding(mesh, P("chains"))
-    args = [jnp.asarray(hs), jnp.asarray(lsham), jnp.asarray(iz),
-            jnp.asarray(cols), jnp.asarray(psi0_p)]
-    hso_j = jnp.asarray(hso) if hso is not None else jnp.zeros_like(args[0])
-    enim_j = (jnp.asarray(enim) if enim is not None
-              else jnp.zeros_like(args[1]))
+    if eng is not None:
+        # ms conv engine over the mesh: the chain axis arrives sharded
+        # and GSPMD partitions the whole recursion accordingly
+        g = jax.device_put(eng.embed(psi0_p), r_shard)
+        a_b, b2_b = eng.block_lanczos(g, lld)
+        return a_b[:, :r0], b2_b[:, :r0]
+    if accel:
+        # realified engine under the same pjit shardings as the CPU
+        # branch: a multi-chip TPU run shards even without a conv stencil
+        from ..ops.block_lanczos import realify_blocks, unrealify_blocks
+
+        args = [jnp.asarray(realify_blocks(hs)),
+                jnp.asarray(realify_blocks(lsham)), jnp.asarray(iz),
+                jnp.asarray(cols), jnp.asarray(realify_blocks(psi0_p))]
+        hso_j = (jnp.asarray(realify_blocks(hso)) if hso is not None
+                 else jnp.zeros_like(args[0]))
+        enim_j = (jnp.asarray(realify_blocks(enim)) if enim is not None
+                  else jnp.zeros_like(args[1]))
+    else:
+        args = [jnp.asarray(hs), jnp.asarray(lsham), jnp.asarray(iz),
+                jnp.asarray(cols), jnp.asarray(psi0_p)]
+        hso_j = (jnp.asarray(hso) if hso is not None
+                 else jnp.zeros_like(args[0]))
+        enim_j = (jnp.asarray(enim) if enim is not None
+                  else jnp.zeros_like(args[1]))
     izo_j = (jnp.asarray(iz_onsite) if iz_onsite is not None else args[2])
 
     def _bl(hs_, lsham_, iz_, cols_, psi0_, hso_, enim_, izo_):
@@ -255,12 +320,17 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
         out_shardings=(NamedSharding(mesh, P(None, "chains")),) * 2,
     )
     a_b, b2_b = fn(*args, hso_j, enim_j, izo_j)
+    if accel:
+        from ..ops.block_lanczos import unrealify_blocks
+
+        return (unrealify_blocks(np.asarray(a_b))[:, :r0],
+                unrealify_blocks(np.asarray(b2_b))[:, :r0])
     return np.asarray(a_b)[:, :r0], np.asarray(b2_b)[:, :r0]
 
 
 def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
                            hoh=False, hso=None, enim=None, iz_onsite=None,
-                           starts=None, guard=True):
+                           starts=None, guard=True, cluster=None):
     """Chebyshev block moments over R chains, mesh-sharded when present.
 
     Returns host mu (2*lld+2, R, 18, 18).  Large clusters route through
@@ -302,14 +372,21 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
                 "energy_min and energy_max")
         return mu
 
+    accel = jax.default_backend() != "cpu"
+    eng = None
+    if accel and (iz_onsite is None or np.array_equal(iz_onsite, iz)):
+        eng = _ms_engine_for(cluster, hs, lsham, hoh, hso, enim)
     if mesh is None:
+        if eng is not None:
+            return _guard(eng.chebyshev_moments(
+                eng.embed(np.asarray(psi0)), lld, a, b))
         plan = _wavefront_plan(cols, np.asarray(psi0).shape[1] - 1,
                                psi0, lld, hoh, starts=starts,
                                kind="chebyshev")
         if plan is not None:
             from ..ops.wavefront import chebyshev_moments_wavefront
 
-            if jax.default_backend() != "cpu":
+            if accel:
                 from ..ops.block_lanczos import (
                     realify_blocks,
                     unrealify_blocks,
@@ -333,18 +410,20 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
                 enim=np.asarray(enim) if enim is not None else None,
                 iz_onsite=(np.asarray(iz_onsite)
                            if iz_onsite is not None else None)))
-    if jax.default_backend() != "cpu":
-        return _guard(chebyshev_moments_split(
-            hs, lsham, iz, cols, psi0, lld, a, b,
-            hoh=hoh, hso=hso, enim=enim, iz_onsite=iz_onsite))
-    to_j = lambda x: jnp.asarray(x) if x is not None else None
-    if mesh is None:
+        if accel:
+            return _guard(chebyshev_moments_split(
+                hs, lsham, iz, cols, psi0, lld, a, b,
+                hoh=hoh, hso=hso, enim=enim, iz_onsite=iz_onsite))
         mu = chebyshev_moments(
             jnp.asarray(hs), jnp.asarray(lsham), jnp.asarray(iz),
             jnp.asarray(cols), jnp.asarray(psi0), lld, a, b, hoh=hoh,
-            hso=to_j(hso), enim=to_j(enim), iz_onsite=to_j(iz_onsite))
+            hso=jnp.asarray(hso) if hso is not None else None,
+            enim=jnp.asarray(enim) if enim is not None else None,
+            iz_onsite=(jnp.asarray(iz_onsite)
+                       if iz_onsite is not None else None))
         return _guard(np.asarray(mu))
 
+    # ---- mesh branch (CPU and accelerator backends): chains sharded ----
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     d = int(np.prod(list(mesh.shape.values())))
@@ -352,10 +431,27 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
     psi0_p[r0:] = psi0_p[0] if r0 else 0.0
     rep = NamedSharding(mesh, P())
     r_shard = NamedSharding(mesh, P("chains"))
-    hso_j = to_j(hso) if hso is not None else jnp.zeros_like(jnp.asarray(hs))
-    enim_j = (to_j(enim) if enim is not None
-              else jnp.zeros_like(jnp.asarray(lsham)))
-    izo_j = to_j(iz_onsite) if iz_onsite is not None else jnp.asarray(iz)
+    if eng is not None:
+        g = jax.device_put(eng.embed(psi0_p), r_shard)
+        return _guard(eng.chebyshev_moments(g, lld, a, b)[:, :r0])
+    if accel:
+        from ..ops.block_lanczos import realify_blocks, unrealify_blocks
+
+        args = [jnp.asarray(realify_blocks(hs)),
+                jnp.asarray(realify_blocks(lsham)), jnp.asarray(iz),
+                jnp.asarray(cols), jnp.asarray(realify_blocks(psi0_p))]
+        hso_j = (jnp.asarray(realify_blocks(hso)) if hso is not None
+                 else jnp.zeros_like(args[0]))
+        enim_j = (jnp.asarray(realify_blocks(enim)) if enim is not None
+                  else jnp.zeros_like(args[1]))
+    else:
+        args = [jnp.asarray(hs), jnp.asarray(lsham), jnp.asarray(iz),
+                jnp.asarray(cols), jnp.asarray(psi0_p)]
+        hso_j = (jnp.asarray(hso) if hso is not None
+                 else jnp.zeros_like(args[0]))
+        enim_j = (jnp.asarray(enim) if enim is not None
+                  else jnp.zeros_like(args[1]))
+    izo_j = (jnp.asarray(iz_onsite) if iz_onsite is not None else args[2])
 
     def _ch(hs_, lsham_, iz_, cols_, psi0_, hso_, enim_, izo_):
         return chebyshev_moments(hs_, lsham_, iz_, cols_, psi0_, lld, a, b,
@@ -367,8 +463,9 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
         in_shardings=(rep, rep, rep, rep, r_shard, rep, rep, rep),
         out_shardings=NamedSharding(mesh, P(None, "chains")),
     )
-    mu = fn(jnp.asarray(hs), jnp.asarray(lsham), jnp.asarray(iz),
-            jnp.asarray(cols), jnp.asarray(psi0_p), hso_j, enim_j, izo_j)
+    mu = fn(*args, hso_j, enim_j, izo_j)
+    if accel:
+        return _guard(unrealify_blocks(np.asarray(mu))[:, :r0])
     return _guard(np.asarray(mu)[:, :r0])
 
 

@@ -45,11 +45,9 @@ class AllocTracker:
         try:
             import jax
 
-            total = 0
-            for dev in jax.devices():
-                for buf in dev.live_buffers():
-                    total += buf.nbytes
-            return total
+            # jax.live_arrays() is the supported successor of the
+            # deprecated Device.live_buffers()
+            return sum(a.nbytes for a in jax.live_arrays())
         except Exception:
             return -1
 

@@ -1,0 +1,80 @@
+"""Multi-site df64 conv engines vs the complex128 gather engines.
+
+Whole-recursion parity of ops/msconv block-Lanczos and Chebyshev moments
+against ops/block_lanczos and ops/chebyshev on single-site (bcc) and
+multi-site (B2) synthetic crystals, with and without SOC/HoH.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rslmtoasa_tpu.models.presets import build_synthetic_b2, build_synthetic_bcc
+from rslmtoasa_tpu.ops.block_lanczos import block_lanczos, block_start_vectors
+from rslmtoasa_tpu.ops.chebyshev import chebyshev_moments
+from rslmtoasa_tpu.ops.msconv import MSEngine, build_ms_stencil
+
+
+def _setup(builder, hoh, **kw):
+    sys_ = builder(hoh=hoh, **kw)
+    cl = sys_.cluster
+    hb = sys_.ham
+    ntype = hb.ee.shape[0]
+    lsham = hb.lsham if hb.lsham is not None else np.zeros(
+        (ntype, 18, 18), np.complex128)
+    rec = [int(j) - 1 for j in cl.irec]
+    psi0 = block_start_vectors(cl.kk, rec)
+    return sys_, cl, hb, lsham, psi0
+
+
+@pytest.mark.parametrize("builder,hoh", [
+    (build_synthetic_bcc, False),
+    (build_synthetic_bcc, True),
+    (build_synthetic_b2, False),
+    (build_synthetic_b2, True),
+], ids=["bcc", "bcc_hoh", "b2", "b2_hoh"])
+def test_block_lanczos_ms_parity(builder, hoh):
+    lld = 6
+    sys_, cl, hb, lsham, psi0 = _setup(
+        builder, hoh, rc=8.0, lld=lld, nsp=2)
+    a_ref, b_ref = block_lanczos(
+        jnp.asarray(hb.ee), jnp.asarray(lsham), jnp.asarray(hb.iz),
+        jnp.asarray(hb.cols), jnp.asarray(psi0), lld, hoh=hoh,
+        hso=jnp.asarray(hb.eeo) if hoh else None,
+        enim=jnp.asarray(hb.enim) if hoh else None)
+    eng = MSEngine(build_ms_stencil(cl), hb.ee, lsham, hoh=hoh,
+                   hso=hb.eeo if hoh else None,
+                   enim=hb.enim if hoh else None)
+    a_ms, b_ms = eng.block_lanczos(eng.embed(psi0), lld)
+    np.testing.assert_allclose(a_ms, np.asarray(a_ref), atol=5e-11)
+    np.testing.assert_allclose(b_ms, np.asarray(b_ref), atol=5e-11)
+
+
+@pytest.mark.parametrize("builder,hoh", [
+    (build_synthetic_bcc, False),
+    (build_synthetic_b2, False),
+    (build_synthetic_b2, True),
+], ids=["bcc", "b2", "b2_hoh"])
+def test_chebyshev_ms_parity(builder, hoh):
+    lld = 6
+    a_s, b_s = 1.9, -0.2
+    sys_, cl, hb, lsham, psi0 = _setup(
+        builder, hoh, rc=8.0, lld=lld, nsp=2)
+    mu_ref = np.asarray(chebyshev_moments(
+        jnp.asarray(hb.ee), jnp.asarray(lsham), jnp.asarray(hb.iz),
+        jnp.asarray(hb.cols), jnp.asarray(psi0), lld, a_s, b_s, hoh=hoh,
+        hso=jnp.asarray(hb.eeo) if hoh else None,
+        enim=jnp.asarray(hb.enim) if hoh else None))
+    eng = MSEngine(build_ms_stencil(cl), hb.ee, lsham, hoh=hoh,
+                   hso=hb.eeo if hoh else None,
+                   enim=hb.enim if hoh else None)
+    mu_ms = eng.chebyshev_moments(eng.embed(psi0), lld, a_s, b_s)
+    np.testing.assert_allclose(mu_ms, mu_ref, atol=5e-10)
+
+
+def test_ms_stencil_rejects_impurity():
+    sys_ = build_synthetic_bcc(rc=8.0, lld=4)
+    cl = sys_.cluster
+    cl.nmax = 3
+    with pytest.raises(ValueError):
+        build_ms_stencil(cl)

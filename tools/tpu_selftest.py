@@ -95,7 +95,7 @@ def main() -> int:
     )
     from rslmtoasa_tpu.ops.kubo import kubo_moments
 
-    v_a, v_b = build_velocity_operators(
+    v_a, v_b, _, _ = build_velocity_operators(
         sys_, np.array([0.0, 1.0, 0.0]), np.array([1.0, 0.0, 0.0]))
     n_mom = 16
     psiref = np.zeros((kk, 36, 36), np.float32)
@@ -107,7 +107,7 @@ def main() -> int:
         jnp.asarray(realify_blocks(v_a), jnp.float32),
         jnp.asarray(realify_blocks(v_b), jnp.float32),
         jnp.asarray(psiref), n_moments=n_mom, block_size=8,
-        a=1.3, b=-0.2))
+        a=1.3, b=-0.2, highest=True))
     mu_dev = unrealify_blocks(mu_dev)
     psic = np.zeros((kk, 18, 18), np.complex128)
     psic[0] = np.eye(18)
