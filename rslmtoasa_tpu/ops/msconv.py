@@ -260,47 +260,16 @@ def mask_channels(st: MSStencil, d: int) -> np.ndarray:
 
 def ms_spmv_df64(w, scale, mask_chan, psi_ds, radius, groups,
                  nchunks: int = df64.DF64_CHUNKS):
-    """One multi-site df64 SpMV: y = H psi via grouped bucket convs.
+    """One multi-site df64 SpMV: y = H psi via bucket convs.
 
     psi_ds: (hi, lo) of (C, ntot*D, nx, ny, nz) f32; w as packed above;
-    mask_chan (ntot*D, nx, ny, nz).  Returns a df64 pair.
+    mask_chan (ntot*D, nx, ny, nz).  Returns a df64 pair.  Thin wrapper
+    over chunk extraction + :func:`conv_chunks`.
     """
     x = _extract_chunks_chan(psi_ds, nchunks)
-    pad = [(int(r), int(r)) for r in radius]
-    acc_hi = None
-    acc_lo = None
-    for (c0, c1) in groups:
-        o = lax.conv_general_dilated(
-            x[:, c0:c1], w[:, c0:c1], window_strides=(1, 1, 1),
-            padding=pad, dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-            preferred_element_type=jnp.float32,
-        )
-        if acc_hi is None:
-            acc_hi, acc_lo = o, jnp.zeros_like(o)
-        else:
-            acc_hi, e = two_sum(acc_hi, o)
-            acc_lo = acc_lo + e
-    nd = psi_ds[0].shape[1]
-    # bucket recombination with per-bucket (hi, lo) pairs; tail buckets
-    # (s >= 3, <= 2^-21 of the head) sum in plain f32
-    tail = None
-    for s in range(3, nchunks):
-        part = acc_hi[:, s * nd:(s + 1) * nd] \
-            + acc_lo[:, s * nd:(s + 1) * nd]
-        tail = part if tail is None else tail + part
-    hi, lo = two_sum(acc_hi[:, :nd], acc_hi[:, nd:2 * nd])
-    lo = lo + (acc_lo[:, :nd] + acc_lo[:, nd:2 * nd])
-    if nchunks > 2:
-        s2, e2 = two_sum(hi, acc_hi[:, 2 * nd:3 * nd])
-        hi, lo = s2, lo + e2 + acc_lo[:, 2 * nd:3 * nd]
-    if tail is not None:
-        lo = lo + tail
-    hi, lo = fast_two_sum(hi, lo)
-    # undo extract's 1/2 pre-scale; scale is a power of two, so the f32
-    # multiply is exact
-    sc = jnp.asarray(scale, jnp.float32) * 2.0
-    m = mask_chan[None]
-    return (hi * sc * m, lo * sc * m)
+    # the extraction carries a 1/2 pre-scale -> factor 2
+    return conv_chunks(w, x, jnp.float32(2.0), scale, mask_chan, radius,
+                       groups, nchunks)
 
 
 # ----------------------------------------------------------------------
@@ -342,37 +311,42 @@ def conv_chunks(w, xq, fx, scale_w, mask_chan, radius, groups,
     """Bucket-conv SpMV from pre-extracted chunks -> df64 pair.
 
     xq: bf16 (C, nchunks*nd, *grid) chunks with factor fx; w/scale_w as
-    packed.  Identical math to :func:`ms_spmv_df64` with the extraction
-    hoisted out so one extraction feeds conv + Gram + column ops.
+    packed.  Per output bucket s only input chunks q <= s contribute
+    (W[s, q] holds chunk p = s - q >= 0), so bucket s convolves a
+    truncated channel slice — sum_s (s+1) = 28 channel-block products
+    instead of the fused conv's 49.  Buckets s >= 4 carry <= 2^-28 of
+    the result, so their f32 accumulation error (2^-24 relative) is
+    below the df64 target and they skip the exactness grouping.
     """
     pad = [(int(r), int(r)) for r in radius]
-    acc_hi = None
-    acc_lo = None
-    for (c0, c1) in groups:
-        o = lax.conv_general_dilated(
-            xq[:, c0:c1], w[:, c0:c1], window_strides=(1, 1, 1),
-            padding=pad, dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-            preferred_element_type=jnp.float32,
-        )
-        if acc_hi is None:
-            acc_hi, acc_lo = o, jnp.zeros_like(o)
+    nd = w.shape[0] // nchunks
+    outs = []
+    for s in range(nchunks):
+        cmax = (s + 1) * nd
+        if s >= 4:
+            gs = [(0, cmax)]
         else:
-            acc_hi, e = two_sum(acc_hi, o)
-            acc_lo = acc_lo + e
-    nd = acc_hi.shape[1] // nchunks
-    tail = None
-    for t in range(3, nchunks):
-        part = acc_hi[:, t * nd:(t + 1) * nd] \
-            + acc_lo[:, t * nd:(t + 1) * nd]
-        tail = part if tail is None else tail + part
-    hi, lo = two_sum(acc_hi[:, :nd], acc_hi[:, nd:2 * nd])
-    lo = lo + (acc_lo[:, :nd] + acc_lo[:, nd:2 * nd])
-    if nchunks > 2:
-        s2, e2 = two_sum(hi, acc_hi[:, 2 * nd:3 * nd])
-        hi, lo = s2, lo + e2 + acc_lo[:, 2 * nd:3 * nd]
-    if tail is not None:
-        lo = lo + tail
-    hi, lo = fast_two_sum(hi, lo)
+            gs = []
+            for (c0, c1) in groups:
+                if c0 >= cmax:
+                    break
+                gs.append((c0, min(c1, cmax)))
+        acc_hi = None
+        acc_lo = None
+        ws = w[s * nd:(s + 1) * nd]
+        for (c0, c1) in gs:
+            o = lax.conv_general_dilated(
+                xq[:, c0:c1], ws[:, c0:c1], window_strides=(1, 1, 1),
+                padding=pad, dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+                preferred_element_type=jnp.float32,
+            )
+            if acc_hi is None:
+                acc_hi, acc_lo = o, jnp.zeros_like(o)
+            else:
+                acc_hi, e = two_sum(acc_hi, o)
+                acc_lo = acc_lo + e
+        outs.append((acc_hi, acc_lo))
+    hi, lo = _combine_buckets(outs)
     sc = jnp.asarray(scale_w, jnp.float32) * fx
     m = mask_chan[None]
     return (hi * sc * m, lo * sc * m)
@@ -497,6 +471,30 @@ def _ds_pair(x64):
     return hi, lo
 
 
+def _eig_sqrt_f32seed(b2):
+    """B = sqrt(b2), B^-1 for real SPD (r, d, d) f64 blocks with an f32
+    eigh seed.  The emulated-f64 eigh costs ~57 ms/step on the axon
+    backend; the f32 eigh is a fast native kernel and two Newton/
+    Babylonian cycles (matmuls only — cheap at this size even emulated)
+    square the 2^-24 seed error to f64 roundoff
+    (same refinement as block_lanczos._eig_sqrt)."""
+    ev32, u32 = jnp.linalg.eigh(b2.astype(jnp.float32))
+    ev = ev32.astype(jnp.float64)
+    u = u32.astype(jnp.float64)
+    ev = jnp.maximum(ev, 1e-300 + 1e-12 * ev[..., -1:])
+    lam = jnp.sqrt(ev)
+    b = jnp.einsum("...ab,...b,...cb->...ac", u, lam, u)
+    b_i = jnp.einsum("...ab,...b,...cb->...ac", u, 1.0 / lam, u)
+    eye = jnp.eye(b2.shape[-1], dtype=b2.dtype)
+    mm = lambda x, y: jnp.einsum("...ab,...bc->...ac", x, y)
+    herm = lambda x: 0.5 * (x + jnp.swapaxes(x, -1, -2))
+    for _ in range(2):
+        b_i = mm(b_i, 2.0 * eye - mm(b, b_i))
+        b = herm(0.5 * (b + mm(b2, b_i)))
+    b_i = herm(mm(b_i, 2.0 * eye - mm(b, b_i)))
+    return b, b_i
+
+
 def _pair_f64(p):
     return p[0].astype(jnp.float64) + p[1].astype(jnp.float64)
 
@@ -510,39 +508,49 @@ def _ds_neg(p):
 
 # ----------------------------------------------------------------------
 # engines (df64 pair state; scan over recursion depth)
+#
+# Both engines are exposed as STAGE functions carrying their full state,
+# so the host driver can run the recursion on a growing subgrid — the
+# active-set wavefront device (create_ll_map, recursion.f90:3277-3303)
+# composed with the conv engines: after k steps the wavefront has
+# reached at most k tap-radii from the start cells, so early steps run
+# on a small box and the full grid is only touched by the last stage.
 
 
-@partial(jax.jit, static_argnames=("lld", "hoh", "radius", "groups",
-                                  "nb", "d", "unroll"))
-def _block_lanczos_ms_jit(w, w_o, w_ons, mask_chan, psi0, scale, scale_o,
-                          scale_ons, lld: int, hoh: bool, radius, groups,
-                          nb: int, d: int, unroll: int = 1):
-    from .block_lanczos import _eig_sqrt
-
-    r = psi0.shape[0]
-    psi0 = psi0.reshape((r * d,) + psi0.shape[2:])
-    nd = psi0.shape[1]
+def _apply_h_chunks(w, w_o, w_ons, mask_chan, scale, scale_o, scale_ons,
+                    radius, groups, hoh, xq, fx):
     no_rad = (0, 0, 0)
     all_grp = ((0, w_ons.shape[1]),)
+    if hoh:
+        # H = h - eeo.(h psi) + (enim + ls) psi (hop_b_hoh :1411)
+        h1 = conv_chunks(w, xq, fx, scale, mask_chan, radius, groups)
+        hq, fh = extract_scaled(h1)
+        h2 = conv_chunks(w_o, hq, fh, scale_o, mask_chan, radius, groups)
+        ons = conv_chunks(w_ons, xq, fx, scale_ons, mask_chan,
+                          no_rad, all_grp)
+        return ds_add(ds_add(h1, _ds_neg(h2)), ons)
+    return conv_chunks(w, xq, fx, scale, mask_chan, radius, groups)
 
-    def apply_h_from_chunks(xq, fx, psi):
-        if hoh:
-            # H = h - eeo.(h psi) + (enim + ls) psi (hop_b_hoh :1411)
-            h1 = conv_chunks(w, xq, fx, scale, mask_chan, radius, groups)
-            hq, fh = extract_scaled(h1)
-            h2 = conv_chunks(w_o, hq, fh, scale_o, mask_chan, radius,
-                             groups)
-            ons = conv_chunks(w_ons, xq, fx, scale_ons, mask_chan,
-                              no_rad, all_grp)
-            return ds_add(ds_add(h1, _ds_neg(h2)), ons)
-        return conv_chunks(w, xq, fx, scale, mask_chan, radius, groups)
 
-    eye64 = jnp.eye(d, dtype=jnp.float64)
+@partial(jax.jit, static_argnames=("nsteps", "hoh", "radius", "groups",
+                                  "nb", "d", "unroll"))
+def _block_stage_ms_jit(w, w_o, w_ons, mask_chan, psi, pmn, sum_b,
+                        scale, scale_o, scale_ons, nsteps: int, hoh: bool,
+                        radius, groups, nb: int, d: int, unroll: int = 1):
+    """nsteps of the block recursion from a full carry.  psi/pmn are
+    df64 pairs (r*d, nd, *grid); sum_b is f64 (r, d, d).  Returns the
+    advanced carry plus the emitted (a_ll, b2) blocks."""
+    from .block_lanczos import _eig_sqrt
+
+    r = sum_b.shape[0]
+    nd = psi[0].shape[1]
+    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, mask_chan, scale,
+                      scale_o, scale_ons, radius, groups, hoh)
 
     def step(carry, _):
-        psi, pmn, sum_b_prev = carry  # pairs; sum_b_prev f64 (r, d, d)
+        psi, pmn, sum_b_prev = carry
         xq, fx = extract_scaled(psi)
-        hpsi = apply_h_from_chunks(xq, fx, psi)
+        hpsi = apply_h(xq, fx)
         hq, fh = extract_scaled(hpsi)
         a_ll = gram_chunks(xq, fx, hq, fh, r, d, nd)
         aq, fa = extract_small(a_ll)
@@ -551,6 +559,11 @@ def _block_lanczos_ms_jit(w, w_o, w_ons, mask_chan, psi0, scale, scale_o,
         pq, fp = extract_scaled(pmn)
         b2 = gram_chunks(pq, fp, pq, fp, r, d, nd)
         b2_64 = _pair_f64(b2)
+        # NOTE: an f32-seeded eigh + Newton refinement
+        # (_eig_sqrt_f32seed) is ~50 ms/step cheaper but loses the
+        # small eigenvalues of ill-conditioned late-recursion B^2
+        # blocks beyond what the refinement can recover — measured
+        # parity failures at lld >= 6.  Emulated-f64 eigh it is.
         b, b_i = _eig_sqrt(b2_64)  # small (r, d, d) emulated f64
         biq, fbi = extract_small(_ds_pair(b_i))
         bq, fb = extract_small(_ds_pair(b))
@@ -559,72 +572,66 @@ def _block_lanczos_ms_jit(w, w_o, w_ons, mask_chan, psi0, scale, scale_o,
         a_ll64 = _pair_f64(a_ll)
         return (psi_new, pmn_new, b2_64), (a_ll64, sum_b_prev)
 
-    pmn0 = (jnp.zeros_like(psi0), jnp.zeros_like(psi0))
-    sum_b0 = jnp.broadcast_to(eye64, (r, d, d))
-    psi0p = (psi0, jnp.zeros_like(psi0))
     (psi, pmn, sum_b), (a_b, b2_b) = jax.lax.scan(
-        step, (psi0p, pmn0, sum_b0), None, length=lld - 1, unroll=unroll)
-    a_b = jnp.concatenate([a_b, jnp.zeros((1, r, d, d), a_b.dtype)], axis=0)
-    b2_b = jnp.concatenate([b2_b, sum_b[None]], axis=0)
-    return a_b, b2_b
+        step, (psi, pmn, sum_b), None, length=nsteps, unroll=unroll)
+    return psi, pmn, sum_b, a_b, b2_b
 
 
-@partial(jax.jit, static_argnames=("lld", "hoh", "radius",
-                                  "groups", "nb", "d", "unroll"))
-def _chebyshev_ms_jit(w, w_o, w_ons, mask_chan, psi0, scale, scale_o,
-                      scale_ons, ainv_p, b_p, lld: int, hoh: bool,
-                      radius, groups, nb: int, d: int, unroll: int = 1):
+@partial(jax.jit, static_argnames=("hoh", "radius", "groups", "nb", "d"))
+def _cheb_init_ms_jit(w, w_o, w_ons, mask_chan, psi0, scale, scale_o,
+                      scale_ons, ainv_p, b_p, hoh: bool, radius, groups,
+                      nb: int, d: int):
+    """First Chebyshev application + mu0/mu1 (T_0, T_1 seeds)."""
     r = psi0.shape[0]
     psi0 = psi0.reshape((r * d,) + psi0.shape[2:])
     nd = psi0.shape[1]
-    no_rad = (0, 0, 0)
-    all_grp = ((0, w_ons.shape[1]),)
-
-    # ainv_p / b_p: scaled-H constants as exact df64 pairs, split on the
-    # host (a single-f32 1/a is 6e-8 off and poisons every moment —
-    # stencil_conv learned this)
     from .df64 import ds_mul
 
-    def apply_ht_from_chunks(xq, fx, psi):
-        if hoh:
-            h1 = conv_chunks(w, xq, fx, scale, mask_chan, radius, groups)
-            hq, fh = extract_scaled(h1)
-            h2 = conv_chunks(w_o, hq, fh, scale_o, mask_chan, radius,
-                             groups)
-            ons = conv_chunks(w_ons, xq, fx, scale_ons, mask_chan,
-                              no_rad, all_grp)
-            hpsi = ds_add(ds_add(h1, _ds_neg(h2)), ons)
-        else:
-            hpsi = conv_chunks(w, xq, fx, scale, mask_chan, radius,
-                               groups)
-        num = ds_add(hpsi, _ds_neg(ds_mul(b_p, psi)))
-        return ds_mul(ainv_p, num)
-
+    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, mask_chan, scale,
+                      scale_o, scale_ons, radius, groups, hoh)
     psi0p = (psi0, jnp.zeros_like(psi0))
     x0q, f0 = extract_scaled(psi0p)
     mu0 = _pair_f64(gram_chunks(x0q, f0, x0q, f0, r, d, nd))
-    psi1 = apply_ht_from_chunks(x0q, f0, psi0p)
+    hpsi = apply_h(x0q, f0)
+    num = ds_add(hpsi, _ds_neg(ds_mul(b_p, psi0p)))
+    psi1 = ds_mul(ainv_p, num)
     x1q, f1 = extract_scaled(psi1)
     mu1 = _pair_f64(gram_chunks(x1q, f1, x0q, f0, r, d, nd))
+    return psi0p, psi1, mu0, mu1
+
+
+@partial(jax.jit, static_argnames=("nsteps", "hoh", "radius", "groups",
+                                  "nb", "d", "unroll"))
+def _cheb_stage_ms_jit(w, w_o, w_ons, mask_chan, p0, p1, mu0, mu1,
+                       scale, scale_o, scale_ons, ainv_p, b_p,
+                       nsteps: int, hoh: bool, radius, groups,
+                       nb: int, d: int, unroll: int = 1):
+    """nsteps of the Chebyshev doubling recursion from (T_{k-1}, T_k)."""
+    r = mu0.shape[0]
+    nd = p0[0].shape[1]
+    from .df64 import ds_mul
+
+    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, mask_chan, scale,
+                      scale_o, scale_ons, radius, groups, hoh)
+
+    def apply_ht(xq, fx, psi):
+        hpsi = apply_h(xq, fx)
+        num = ds_add(hpsi, _ds_neg(ds_mul(b_p, psi)))
+        return ds_mul(ainv_p, num)
 
     def step(carry, _):
-        # carry: (p0 pair, p1 pair, p1 chunks, p1 factor)
-        p0, p1, x1q_, f1_ = carry
-        ht = apply_ht_from_chunks(x1q_, f1_, p1)
-        p2 = ds_add(ds_add(ht, ht), _ds_neg(p0))
+        p0_, p1_ = carry
+        x1q, f1 = extract_scaled(p1_)
+        ht = apply_ht(x1q, f1, p1_)
+        p2 = ds_add(ds_add(ht, ht), _ds_neg(p0_))
         x2q, f2 = extract_scaled(p2)
-        d1 = _pair_f64(gram_chunks(x1q_, f1_, x1q_, f1_, r, d, nd))
-        d2 = _pair_f64(gram_chunks(x2q, f2, x1q_, f1_, r, d, nd))
-        return (p1, p2, x2q, f2), (2.0 * d1 - mu0, 2.0 * d2 - mu1)
+        d1 = _pair_f64(gram_chunks(x1q, f1, x1q, f1, r, d, nd))
+        d2 = _pair_f64(gram_chunks(x2q, f2, x1q, f1, r, d, nd))
+        return (p1_, p2), (2.0 * d1 - mu0, 2.0 * d2 - mu1)
 
-    (_, _, _, _), (mu_odd, mu_even) = jax.lax.scan(
-        step, (psi0p, psi1, x1q, f1), None, length=lld, unroll=unroll)
-    mu = jnp.zeros((2 * lld + 2, r, d, d), dtype=jnp.float64)
-    mu = mu.at[0].set(mu0).at[1].set(mu1)
-    mu = mu.at[2::2].set(mu_odd)
-    mu = mu.at[3::2].set(mu_even)
-    return mu
-
+    (p0, p1), (mu_odd, mu_even) = jax.lax.scan(
+        step, (p0, p1), None, length=nsteps, unroll=unroll)
+    return p0, p1, mu_odd, mu_even
 
 
 # ----------------------------------------------------------------------
@@ -698,34 +705,162 @@ class MSEngine:
             self.st, realify_blocks(np.asarray(psi0_complex)),
             self.d).astype(np.float32))
 
+    # -- wavefront stage plan ------------------------------------------
+    def start_bbox(self, psi0):
+        """Cell bounding box of the nonzero start blocks (host psi0,
+        (R, kk[+1], D, D))."""
+        p = np.abs(np.asarray(psi0))[:, :self.st.kk]
+        rows = np.nonzero(p.sum(axis=(0, 2, 3)))[0]
+        cc = self.st.cells[rows]
+        return tuple(cc.min(axis=0)), tuple(cc.max(axis=0))
+
+    def stage_plan(self, bbox0, nsteps: int, first_ball: int = 1):
+        """Greedy wavefront staging (the create_ll_map device,
+        recursion.f90:3277-3303, composed with the conv engine): step i
+        needs the box reached after (first_ball + i - 1 + 1) hop-radii.
+        Returns [(nsteps_k, (lo, hi))] or None when dense is cheaper.
+        """
+        hops = 2 if self.hoh else 1
+        rad = np.asarray(self.radius)
+        dims = np.asarray(self.st.dims)
+        lo0 = np.asarray(bbox0[0])
+        hi0 = np.asarray(bbox0[1])
+        boxes, vols = [], []
+        for i in range(nsteps):
+            m = (first_ball + i) * hops
+            lo = np.maximum(0, lo0 - m * rad)
+            hi = np.minimum(dims, hi0 + 1 + m * rad)
+            boxes.append((tuple(int(x) for x in lo),
+                          tuple(int(x) for x in hi)))
+            vols.append(int(np.prod(hi - lo)))
+        full = int(np.prod(dims))
+        plan = []
+        i = 0
+        while i < nsteps:
+            j = i
+            while j + 1 < nsteps and vols[j + 1] <= 2.5 * vols[i] \
+                    and (j + 1 - i) < 48:
+                j += 1
+            plan.append((j - i + 1, boxes[j]))
+            i = j + 1
+        work = sum(n * int(np.prod(np.asarray(b[1]) - np.asarray(b[0])))
+                   for n, b in plan)
+        if work >= 0.7 * nsteps * full:
+            return None
+        return plan
+
+    def _slice_grid(self, x, bbox):
+        (x0, y0, z0), (x1, y1, z1) = bbox
+        return x[..., x0:x1, y0:y1, z0:z1]
+
+    @staticmethod
+    def _pad_pair(pair, old_bbox, new_bbox):
+        widths = [(0, 0)] * (pair[0].ndim - 3) + [
+            (old_bbox[0][ax] - new_bbox[0][ax],
+             new_bbox[1][ax] - old_bbox[1][ax]) for ax in range(3)]
+        return (jnp.pad(pair[0], widths), jnp.pad(pair[1], widths))
+
     # -- engines -------------------------------------------------------
-    def block_lanczos(self, psi0_grid, lld: int):
+    def block_lanczos(self, psi0_grid, lld: int, start_bbox=None):
+        """Block recursion -> (a_b, b2_b) complex (lld, R, 18, 18).
+
+        With ``start_bbox`` the recursion runs wavefront-staged on
+        growing subgrids when the plan predicts a win; otherwise dense.
+        """
         from .block_lanczos import unrealify_blocks
 
-        unroll = max(1, lld - 1) if jax.default_backend() == "cpu" else 1
-        a_b, b2_b = _block_lanczos_ms_jit(
-            self.w, self.w_o, self.w_ons, self.mask_chan, psi0_grid,
-            jnp.float32(self.scale), jnp.float32(self.scale_o),
-            jnp.float32(self.scale_ons),
-            lld, self.hoh, self.radius, self.groups, self.st.ntot,
-            self.d, unroll)
-        return (unrealify_blocks(np.asarray(a_b)),
-                unrealify_blocks(np.asarray(b2_b)))
+        unroll_all = jax.default_backend() == "cpu"
+        r, d = psi0_grid.shape[0], self.d
+        flat = psi0_grid.reshape((r * d,) + psi0_grid.shape[2:])
+        plan = None
+        if start_bbox is not None and lld > 2:
+            plan = self.stage_plan(start_bbox, lld - 1, first_ball=1)
+        if plan is None:
+            full_bbox = ((0, 0, 0), self.st.dims)
+            plan = [(lld - 1, full_bbox)]
+        args = (jnp.float32(self.scale), jnp.float32(self.scale_o),
+                jnp.float32(self.scale_ons))
+        psi = pmn = None
+        sum_b = jnp.broadcast_to(jnp.eye(d, dtype=jnp.float64), (r, d, d))
+        prev = None
+        a_parts, b_parts = [], []
+        for nsteps, bbox in plan:
+            if psi is None:
+                lo, hi = bbox
+                sub = flat[..., lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+                psi = (sub, jnp.zeros_like(sub))
+                pmn = (jnp.zeros_like(sub), jnp.zeros_like(sub))
+            else:
+                psi = self._pad_pair(psi, prev, bbox)
+                pmn = self._pad_pair(pmn, prev, bbox)
+            mask_sub = self._slice_grid(self.mask_chan, bbox)
+            unroll = nsteps if unroll_all else 1
+            psi, pmn, sum_b, a_b, b2_b = _block_stage_ms_jit(
+                self.w, self.w_o, self.w_ons, mask_sub, psi, pmn, sum_b,
+                *args, nsteps, self.hoh, self.radius, self.groups,
+                self.st.ntot, d, unroll)
+            a_parts.append(np.asarray(a_b))
+            b_parts.append(np.asarray(b2_b))
+            prev = bbox
+        a_b = np.concatenate(a_parts + [np.zeros((1, r, d, d))], axis=0)
+        b2_b = np.concatenate(b_parts + [np.asarray(sum_b)[None]], axis=0)
+        return unrealify_blocks(a_b), unrealify_blocks(b2_b)
 
-    def chebyshev_moments(self, psi0_grid, lld: int, a: float, b: float):
+    def chebyshev_moments(self, psi0_grid, lld: int, a: float, b: float,
+                          start_bbox=None):
+        """Chebyshev doubling moments -> mu complex (2*lld+2, R, 18, 18),
+        optionally wavefront-staged."""
         from .block_lanczos import unrealify_blocks
 
-        unroll = max(1, lld) if jax.default_backend() == "cpu" else 1
+        unroll_all = jax.default_backend() == "cpu"
+        r, d = psi0_grid.shape[0], self.d
         ainv = 1.0 / float(a)
-        ainv_p = (np.float32(ainv),
-                  np.float32(ainv - np.float64(np.float32(ainv))))
-        b_p = (np.float32(b), np.float32(float(b) - np.float64(np.float32(b))))
-        mu = _chebyshev_ms_jit(
-            self.w, self.w_o, self.w_ons, self.mask_chan, psi0_grid,
-            jnp.float32(self.scale), jnp.float32(self.scale_o),
-            jnp.float32(self.scale_ons),
-            (jnp.asarray(ainv_p[0]), jnp.asarray(ainv_p[1])),
-            (jnp.asarray(b_p[0]), jnp.asarray(b_p[1])),
-            lld, self.hoh, self.radius, self.groups,
-            self.st.ntot, self.d, unroll)
-        return unrealify_blocks(np.asarray(mu))
+        ainv_p = (jnp.asarray(np.float32(ainv)),
+                  jnp.asarray(np.float32(
+                      ainv - np.float64(np.float32(ainv)))))
+        b_p = (jnp.asarray(np.float32(b)),
+               jnp.asarray(np.float32(
+                   float(b) - np.float64(np.float32(b)))))
+        args = (jnp.float32(self.scale), jnp.float32(self.scale_o),
+                jnp.float32(self.scale_ons), ainv_p, b_p)
+        plan = None
+        if start_bbox is not None and lld > 2:
+            # scan step j emits T_{j+1}: ball (j+1) applications deep
+            plan = self.stage_plan(start_bbox, lld, first_ball=2)
+        if plan is None:
+            full_bbox = ((0, 0, 0), self.st.dims)
+            init_bbox = full_bbox
+            plan = [(lld, full_bbox)]
+        else:
+            # the init (T_1 = H~ T_0) needs one application's reach
+            ip = self.stage_plan(start_bbox, 1, first_ball=1)
+            init_bbox = ip[0][1] if ip else ((0, 0, 0), self.st.dims)
+        lo, hi = init_bbox
+        flat = psi0_grid[..., lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+        mask_sub = self._slice_grid(self.mask_chan, init_bbox)
+        p0, p1, mu0, mu1 = _cheb_init_ms_jit(
+            self.w, self.w_o, self.w_ons, mask_sub, flat, *args,
+            self.hoh, self.radius, self.groups, self.st.ntot, d)
+        odd_parts, even_parts = [], []
+        prev = init_bbox
+        for nsteps, bbox in plan:
+            if bbox != prev:
+                p0 = self._pad_pair(p0, prev, bbox)
+                p1 = self._pad_pair(p1, prev, bbox)
+            mask_sub = self._slice_grid(self.mask_chan, bbox)
+            unroll = nsteps if unroll_all else 1
+            p0, p1, mu_odd, mu_even = _cheb_stage_ms_jit(
+                self.w, self.w_o, self.w_ons, mask_sub, p0, p1, mu0, mu1,
+                *args, nsteps, self.hoh, self.radius, self.groups,
+                self.st.ntot, d, unroll)
+            odd_parts.append(np.asarray(mu_odd))
+            even_parts.append(np.asarray(mu_even))
+            prev = bbox
+        mu_odd = np.concatenate(odd_parts, axis=0)
+        mu_even = np.concatenate(even_parts, axis=0)
+        mu = np.zeros((2 * lld + 2, r, d, d))
+        mu[0] = np.asarray(mu0)
+        mu[1] = np.asarray(mu1)
+        mu[2::2] = mu_odd
+        mu[3::2] = mu_even
+        return unrealify_blocks(mu)

@@ -216,7 +216,9 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
         eng = _ms_engine_for(cluster, hs, lsham, hoh, hso, enim)
     if mesh is None:
         if eng is not None:
-            return eng.block_lanczos(eng.embed(np.asarray(psi0)), lld)
+            p0 = np.asarray(psi0)
+            return eng.block_lanczos(eng.embed(p0), lld,
+                                     start_bbox=eng.start_bbox(p0))
         plan = _wavefront_plan(cols, np.asarray(psi0).shape[1] - 1,
                                psi0, lld, hoh, starts=starts)
         if plan is not None:
@@ -378,8 +380,10 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
         eng = _ms_engine_for(cluster, hs, lsham, hoh, hso, enim)
     if mesh is None:
         if eng is not None:
+            p0 = np.asarray(psi0)
             return _guard(eng.chebyshev_moments(
-                eng.embed(np.asarray(psi0)), lld, a, b))
+                eng.embed(p0), lld, a, b,
+                start_bbox=eng.start_bbox(p0)))
         plan = _wavefront_plan(cols, np.asarray(psi0).shape[1] - 1,
                                psi0, lld, hoh, starts=starts,
                                kind="chebyshev")

@@ -72,6 +72,28 @@ def test_chebyshev_ms_parity(builder, hoh):
     np.testing.assert_allclose(mu_ms, mu_ref, atol=5e-10)
 
 
+def test_ms_wavefront_staging_parity():
+    """Wavefront-staged execution (growing subgrids) is exactly the
+    dense recursion: outside the k-step ball everything is zero, so
+    restricting step k to the ball's bounding box changes nothing."""
+    lld = 5
+    sys_, cl, hb, lsham, psi0 = _setup(
+        build_synthetic_bcc, False, rc=20.0, lld=lld, nsp=2)
+    eng = MSEngine(build_ms_stencil(cl), hb.ee, lsham)
+    g = eng.embed(psi0)
+    bbox = eng.start_bbox(psi0)
+    plan = eng.stage_plan(bbox, lld - 1, first_ball=1)
+    assert plan is not None and len(plan) > 1, \
+        f"staging should engage on this cluster (plan={plan})"
+    a_st, b_st = eng.block_lanczos(g, lld, start_bbox=bbox)
+    a_dn, b_dn = eng.block_lanczos(g, lld)
+    np.testing.assert_allclose(a_st, a_dn, atol=1e-12)
+    np.testing.assert_allclose(b_st, b_dn, atol=1e-12)
+    mu_st = eng.chebyshev_moments(g, lld, 1.9, -0.2, start_bbox=bbox)
+    mu_dn = eng.chebyshev_moments(g, lld, 1.9, -0.2)
+    np.testing.assert_allclose(mu_st, mu_dn, atol=1e-12)
+
+
 def test_ms_stencil_rejects_impurity():
     sys_ = build_synthetic_bcc(rc=8.0, lld=4)
     cl = sys_.cluster

@@ -9,8 +9,12 @@ their CPU images):
 
 1. block-Lanczos SCF step engine  (block_lanczos_split, +-HoH)
 2. exchange pair chains           (4-start-vector block recursion)
-3. Kubo two-sided moment block    (kubo_moments, realified)
+3. Kubo two-sided moment block    (kubo_moments, realified f32 with
+   Precision.HIGHEST)
 4. conv-stencil df64 scalar Lanczos (the bench engine)
+5. fused Pallas flat-stencil df64 scalar Lanczos
+6. multi-site df64 conv engines   (ms-conv block-Lanczos + Chebyshev,
+   the SCF production path, bcc+HoH and B2 cells)
 
 Run from the repo root on a machine with the TPU visible:
 
@@ -162,6 +166,42 @@ def main() -> int:
         wt, hsc, fs.mask, p0, lld, dxs=dxs, colshifts=colshifts)
     check("pallas df64 lanczos (TPU)", a_pl, np.asarray(a_cref), 1e-8)
     check("pallas df64 b2", b2_pl, np.asarray(b2_cref), 1e-8)
+
+    # ---- 6. multi-site df64 conv engines (the SCF production path) ----
+    from rslmtoasa_tpu.models.presets import build_synthetic_b2
+    from rslmtoasa_tpu.ops.chebyshev import chebyshev_moments
+    from rslmtoasa_tpu.ops.msconv import MSEngine, build_ms_stencil
+
+    for label, sysm, hoh in (
+            ("bcc hoh", build_synthetic_bcc(rc=16.0, ndim=4000, lld=8,
+                                            nsp=2, hoh=True), True),
+            ("b2", build_synthetic_b2(rc=12.0, ndim=4000, lld=8,
+                                      nsp=2), False)):
+        hbm = sysm.ham
+        clm = sysm.cluster
+        lsm = hbm.lsham
+        psim = block_start_vectors(clm.kk, [0])
+        eng = MSEngine(build_ms_stencil(clm), hbm.ee, lsm, hoh=hoh,
+                       hso=hbm.eeo if hoh else None,
+                       enim=hbm.enim if hoh else None)
+        g = eng.embed(psim)
+        a_ms, b_ms = eng.block_lanczos(g, lld)
+        mu_ms = eng.chebyshev_moments(g, lld, 1.9, -0.2)
+        with jax.default_device(cpu):
+            a_mr, b_mr = block_lanczos(
+                jnp.asarray(hbm.ee), jnp.asarray(lsm), jnp.asarray(hbm.iz),
+                jnp.asarray(hbm.cols), jnp.asarray(psim), lld, hoh=hoh,
+                hso=jnp.asarray(hbm.eeo) if hoh else None,
+                enim=jnp.asarray(hbm.enim) if hoh else None)
+            mu_mr = chebyshev_moments(
+                jnp.asarray(hbm.ee), jnp.asarray(lsm), jnp.asarray(hbm.iz),
+                jnp.asarray(hbm.cols), jnp.asarray(psim), lld, 1.9, -0.2,
+                hoh=hoh, hso=jnp.asarray(hbm.eeo) if hoh else None,
+                enim=jnp.asarray(hbm.enim) if hoh else None)
+        check(f"ms-conv block ({label}, TPU)", a_ms, np.asarray(a_mr), 1e-8)
+        check(f"ms-conv block B^2 ({label})", b_ms, np.asarray(b_mr), 1e-8)
+        check(f"ms-conv chebyshev ({label})", mu_ms, np.asarray(mu_mr),
+              1e-8)
 
     print("TPU selftest:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
