@@ -70,7 +70,8 @@ def _onsite18(mat: jnp.ndarray, iz: jnp.ndarray, psi: jnp.ndarray
     return jnp.einsum("iab,ribc->riac", mi, psi[:, :-1])
 
 
-def gram_sum(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def gram_sum(x: jnp.ndarray, y: jnp.ndarray,
+             decomposed: bool = None) -> jnp.ndarray:
     """Chain Gram blocks out[r, a, c] = sum_{i,b} x[r,i,b,a] y[r,i,b,c].
 
     NOT a single fused einsum on accelerators: XLA's emulated-f64 TPU
@@ -80,10 +81,15 @@ def gram_sum(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     The per-atom batched matmul keeps the contraction small (d), which
     the rewrite handles, and the cluster sum runs as an exact f64
     reduction.  On CPU the fused contraction is accurate and cheaper.
-    Callers pass x already conjugated where complex."""
+    Callers pass x already conjugated where complex.
+
+    ``decomposed`` overrides the backend choice (the CPU suite uses it
+    to exercise the accelerator branch — see test_recursion.py)."""
     import jax
 
-    if jax.default_backend() == "cpu":
+    if decomposed is None:
+        decomposed = jax.default_backend() != "cpu"
+    if not decomposed:
         return jnp.einsum("riba,ribc->rac", x, y)
     return jnp.einsum("riba,ribc->riac", x, y).sum(axis=1)
 

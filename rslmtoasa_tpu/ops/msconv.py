@@ -179,6 +179,8 @@ def pack_ms_kernel_df64(hs: np.ndarray, st: MSStencil,
 
     nd = nb * d
     w = np.zeros((nchunks * nd, nchunks * nd, kd, kh, kw), np.float32)
+    w5 = w.reshape(nchunks, nb, d, nchunks, nb, d, kd, kh, kw)
+    qs = np.arange(nchunks)
     for b_out in range(nb):
         t = int(st.basis_type[b_out])
         for m in range(nslots):
@@ -186,14 +188,10 @@ def pack_ms_kernel_df64(hs: np.ndarray, st: MSStencil,
                 continue
             b_in = int(st.nbasis[b_out, m])
             tx, ty, tz = (int(v) for v in st.dcells[b_out, m] + r)
-            for s in range(nchunks):
-                for q in range(nchunks):
-                    p = s - q
-                    if p < 0 or p >= nchunks:
-                        continue
-                    w[s * nd + b_out * d:s * nd + (b_out + 1) * d,
-                      q * nd + b_in * d:q * nd + (b_in + 1) * d,
-                      tx, ty, tz] += ch[p, t, m]
+            for p in range(nchunks):
+                q = qs[:nchunks - p]
+                # bucket s = q + p for every q at once
+                w5[q + p, b_out, :, q, b_in, :, tx, ty, tz] += ch[p, t, m]
 
     # exactness grouping: products are <= 2^12 quanta, f32 integer window
     # is 2^24 -> each partial conv may contract at most 4096 nonzero
@@ -311,32 +309,30 @@ def conv_chunks(w, xq, fx, scale_w, mask_chan, radius, groups,
     """Bucket-conv SpMV from pre-extracted chunks -> df64 pair.
 
     xq: bf16 (C, nchunks*nd, *grid) chunks with factor fx; w/scale_w as
-    packed.  Per output bucket s only input chunks q <= s contribute
-    (W[s, q] holds chunk p = s - q >= 0), so bucket s convolves a
-    truncated channel slice — sum_s (s+1) = 28 channel-block products
-    instead of the fused conv's 49.  Buckets s >= 4 carry <= 2^-28 of
-    the result, so their f32 accumulation error (2^-24 relative) is
-    below the df64 target and they skip the exactness grouping.
+    packed.  Two execution modes, chosen by a flop model:
+
+    * small problems: ONE fused conv over all output buckets (exactness
+      via the packed channel ``groups``) — kernel-launch overhead
+      dominates at these sizes (measured ~5 ms/launch on the axon
+      backend);
+    * large problems: per-bucket truncated convs — output bucket s only
+      convolves input chunks q <= s (sum_s (s+1) = 28 channel-block
+      products instead of 49), and buckets s >= 4 skip the exactness
+      grouping (their 2^-28 weight puts plain-f32 accumulation error
+      below the df64 target).
     """
     pad = [(int(r), int(r)) for r in radius]
     nd = w.shape[0] // nchunks
-    outs = []
-    for s in range(nchunks):
-        cmax = (s + 1) * nd
-        if s >= 4:
-            gs = [(0, cmax)]
-        else:
-            gs = []
-            for (c0, c1) in groups:
-                if c0 >= cmax:
-                    break
-                gs.append((c0, min(c1, cmax)))
+    cells = int(np.prod(xq.shape[2:]))
+    window = int(np.prod([2 * int(r) + 1 for r in radius]))
+    fused_flops = 2.0 * xq.shape[0] * cells * window * (nchunks * nd) ** 2
+    if fused_flops < 5e12:
+        # fused: one conv per exactness group over ALL buckets
         acc_hi = None
         acc_lo = None
-        ws = w[s * nd:(s + 1) * nd]
-        for (c0, c1) in gs:
+        for (c0, c1) in groups:
             o = lax.conv_general_dilated(
-                xq[:, c0:c1], ws[:, c0:c1], window_strides=(1, 1, 1),
+                xq[:, c0:c1], w[:, c0:c1], window_strides=(1, 1, 1),
                 padding=pad, dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
                 preferred_element_type=jnp.float32,
             )
@@ -345,7 +341,36 @@ def conv_chunks(w, xq, fx, scale_w, mask_chan, radius, groups,
             else:
                 acc_hi, e = two_sum(acc_hi, o)
                 acc_lo = acc_lo + e
-        outs.append((acc_hi, acc_lo))
+        outs = [(acc_hi[:, t * nd:(t + 1) * nd],
+                 acc_lo[:, t * nd:(t + 1) * nd]) for t in range(nchunks)]
+    else:
+        outs = []
+        for t in range(nchunks):
+            cmax = (t + 1) * nd
+            if t >= 4:
+                gs = [(0, cmax)]
+            else:
+                gs = []
+                for (c0, c1) in groups:
+                    if c0 >= cmax:
+                        break
+                    gs.append((c0, min(c1, cmax)))
+            acc_hi = None
+            acc_lo = None
+            ws = w[t * nd:(t + 1) * nd]
+            for (c0, c1) in gs:
+                o = lax.conv_general_dilated(
+                    xq[:, c0:c1], ws[:, c0:c1], window_strides=(1, 1, 1),
+                    padding=pad,
+                    dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+                    preferred_element_type=jnp.float32,
+                )
+                if acc_hi is None:
+                    acc_hi, acc_lo = o, jnp.zeros_like(o)
+                else:
+                    acc_hi, e = two_sum(acc_hi, o)
+                    acc_lo = acc_lo + e
+            outs.append((acc_hi, acc_lo))
     hi, lo = _combine_buckets(outs)
     sc = jnp.asarray(scale_w, jnp.float32) * fx
     m = mask_chan[None]
@@ -414,14 +439,15 @@ def gram_chunks(xq, fx, yq, fy, r: int, d: int, nd: int,
     # all chunk-pair partials in one contraction: (p, q, r, seg, a, c)
     partial = jnp.einsum("rapdsl,rcqdsl->pqrsac", x, y,
                          preferred_element_type=jnp.float32)
-    parts = []
-    for b in range(nchunks):
-        sel = [partial[pp, b - pp] for pp in range(nchunks)
-               if 0 <= b - pp < nchunks]
-        stack = jnp.concatenate(sel, axis=1)  # (r, n_sel*seg, a, c)
-        stack = jnp.moveaxis(stack, 1, 0).reshape(-1, r, d, d)
-        parts.append(_fold_first(stack, jnp.zeros_like(stack)))
-    hi, lo = _combine_buckets(parts)
+    # every partial is exact f32, so ONE compensated fold over the
+    # whole (chunk-pair x segment) axis is error-free — two_sum needs
+    # no same-quantum assumption; chunk pairs beyond p+q > 6 are below
+    # 2^-49 and dropped (matching the conv kernel)
+    sel = [partial[pp, b - pp] for b in range(nchunks)
+           for pp in range(nchunks) if 0 <= b - pp < nchunks]
+    stack = jnp.concatenate(sel, axis=1)  # (r, Npq*seg, a, c)
+    stack = jnp.moveaxis(stack, 1, 0)
+    hi, lo = _fold_first(stack, jnp.zeros_like(stack))
     sc = fx * fy
     return (hi * sc, lo * sc)
 
@@ -442,22 +468,22 @@ def colmul_chunks(xq, fx, mq, fm, r: int, d: int,
     """df64 column transform from chunked operands.
 
     out[(r, c), Q, cell] = sum_b x[(r, b), Q, cell] M[r, b, c], with
-    x = fx * sum(xq), M = fm * sum(mq).  Per output bucket the (b,
-    chunk-pair) contraction has d*nchunks <= 2^20 quanta — exact in one
-    f32 accumulation.  Returns a df64 pair shaped like the state.
+    x = fx * sum(xq), M = fm * sum(mq).  One einsum computes every
+    output bucket at once (contraction (q, b) = nchunks*d <= 2^20
+    quanta — exact), then a compensated fold over the bucket axis.
+    Returns a df64 pair shaped like the state.
     """
     grid = xq.shape[2:]
-    flat = int(np.prod(grid))
     x = xq.reshape(r, d, nchunks, -1)  # (r, b, q, nd*cells)
-    parts = []
     zero = jnp.zeros_like(mq[:, 0])
-    for b in range(nchunks):
-        ms = jnp.stack([mq[:, b - q] if 0 <= b - q < nchunks else zero
-                        for q in range(nchunks)], axis=1)  # (r, q, b, c)
-        o = jnp.einsum("rbqx,rqbc->rcx", x, ms,
-                       preferred_element_type=jnp.float32)
-        parts.append((o, jnp.zeros_like(o)))
-    hi, lo = _combine_buckets(parts)
+    ms = jnp.stack([
+        jnp.stack([mq[:, b - q] if 0 <= b - q < nchunks else zero
+                   for q in range(nchunks)], axis=1)
+        for b in range(nchunks)], axis=1)  # (r, s, q, b, c)
+    o = jnp.einsum("rbqx,rsqbc->rscx", x, ms,
+                   preferred_element_type=jnp.float32)  # (r, s, c, X)
+    stack = jnp.moveaxis(o, 1, 0)  # (s, r, c, X)
+    hi, lo = _fold_first(stack, jnp.zeros_like(stack))
     sc = fx * fm
     hi = (hi * sc).reshape((r * d, xq.shape[1] // nchunks) + grid)
     lo = (lo * sc).reshape((r * d, xq.shape[1] // nchunks) + grid)

@@ -473,11 +473,29 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
     return _guard(np.asarray(mu)[:, :r0])
 
 
+def _rowshard_wanted(mesh, kk: int, b: int, c: int,
+                     itemsize: int = 16) -> bool:
+    """HBM threshold for the row-sharded layout: when the recursion
+    state (a handful of (kk, B, C) wavefront buffers) would exceed the
+    per-chip budget, the cluster rows must be sharded instead of
+    replicated (the reference replicates the full cluster on every MPI
+    rank — mpi.f90 keeps no halo — but a TPU chip has a hard HBM
+    ceiling).  Budget override: ``RSLMTO_ROWSHARD_BYTES``."""
+    if mesh is None:
+        return False
+    budget = int(os.environ.get("RSLMTO_ROWSHARD_BYTES", 8 << 30))
+    state = 6 * kk * b * c * itemsize  # psi/pmn/hpsi + headroom
+    return state > budget
+
+
 def lanczos_auto(hs, iz, cols, psi0, lld, starts=None):
     """Scalar Haydock recursion over C chains (last axis), mesh-sharded
     when present.  Host in, host out: (a, b2) of shape (lld, C).
 
-    Large clusters route through the active-set wavefront engine."""
+    Large clusters route through the active-set wavefront engine, or —
+    when the wavefront state itself exceeds per-chip HBM — through the
+    row-sharded ppermute-halo engine (``parallel/mesh.py
+    lanczos_rowsharded``)."""
     import jax
     import jax.numpy as jnp
 
@@ -498,10 +516,30 @@ def lanczos_auto(hs, iz, cols, psi0, lld, starts=None):
             jnp.asarray(hs), jnp.asarray(iz), jnp.asarray(cols),
             jnp.asarray(psi0), lld)
         return np.asarray(a), np.asarray(b2)
+    d = int(np.prod(list(mesh.shape.values())))
+    p0 = np.asarray(psi0)
+    kk = p0.shape[0] - 1
+    if _rowshard_wanted(mesh, kk, p0.shape[1], p0.shape[2],
+                        p0.dtype.itemsize):
+        # HBM route: cluster rows sharded, ppermute halo SpMV, psum
+        # reductions (mesh.py lanczos_rowsharded)
+        from .mesh import lanczos_rowsharded
+
+        kk_pad = -(-kk // d) * d
+        iz_p = np.zeros(kk_pad, np.int32)
+        iz_p[:kk] = np.asarray(iz)
+        cols_np = np.asarray(cols)
+        cols_p = np.full((kk_pad, cols_np.shape[1]), kk_pad, np.int32)
+        cols_p[:kk] = np.where(cols_np >= kk, kk_pad, cols_np)
+        psi_rows = np.zeros((kk_pad,) + p0.shape[1:], p0.dtype)
+        psi_rows[:kk] = p0[:kk]
+        a, b2 = lanczos_rowsharded(
+            mesh, jnp.asarray(hs), jnp.asarray(iz_p),
+            jnp.asarray(cols_p), jnp.asarray(psi_rows), lld)
+        return np.asarray(a), np.asarray(b2)
     from .mesh import lanczos_sharded
 
-    d = int(np.prod(list(mesh.shape.values())))
-    psi0_p, c0 = _pad_axis(np.asarray(psi0), 2, d)
+    psi0_p, c0 = _pad_axis(p0, 2, d)
     a, b2 = lanczos_sharded(mesh, jnp.asarray(hs), jnp.asarray(iz),
                             jnp.asarray(cols), jnp.asarray(psi0_p), lld)
     return np.asarray(a)[:, :c0], np.asarray(b2)[:, :c0]

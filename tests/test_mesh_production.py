@@ -77,3 +77,25 @@ def test_exchange_pairs_mesh_matches_single(mesh_toggle):
     a_1, b_1 = block_lanczos_auto(hb.ee, lsham, hb.iz, hb.cols, psi0, 6)
     np.testing.assert_allclose(a_m, a_1, atol=1e-12)
     np.testing.assert_allclose(b_m, b_1, atol=1e-12)
+
+
+def test_lanczos_rowshard_hbm_route(mesh_toggle, monkeypatch):
+    """The HBM-threshold row-sharding route (dispatch._rowshard_wanted):
+    with a tiny budget the scalar dispatch runs the ppermute-halo
+    row-sharded engine and matches the replicated chain-sharded result."""
+    from rslmtoasa_tpu.ops.lanczos import scalar_start_vectors
+
+    sys_ = build_synthetic_bcc(rc=8.0, ndim=2000, lld=6)
+    hb = sys_.ham
+    kk = sys_.cluster.kk
+    blk = hb.ee[:, :, :9, :9]
+    psi0 = np.asarray(scalar_start_vectors(kk, [0]))
+    # 9 chains < 8 devices would skip the mesh; tile to 16
+    psi0 = np.tile(psi0, (1, 1, 2))[:, :, :16]
+    _use_mesh()
+    monkeypatch.setenv("RSLMTO_ROWSHARD_BYTES", "1")
+    a_rs, b_rs = dispatch.lanczos_auto(blk, hb.iz, hb.cols, psi0, 6)
+    monkeypatch.delenv("RSLMTO_ROWSHARD_BYTES")
+    a_cs, b_cs = dispatch.lanczos_auto(blk, hb.iz, hb.cols, psi0, 6)
+    np.testing.assert_allclose(a_rs, a_cs, atol=1e-10)
+    np.testing.assert_allclose(b_rs, b_cs, atol=1e-10)

@@ -163,3 +163,24 @@ def test_chebyshev_split_parity():
     m2 = chebyshev_moments_split(hb.ee, hb.lsham, hb.iz, hb.cols, psi0,
                                  5, 1.9, -0.2)
     np.testing.assert_allclose(m2, np.asarray(m1), atol=1e-10)
+
+
+def test_gram_sum_decomposed_branch_matches_fused():
+    """The accelerator (decomposed) gram_sum branch — untested by the
+    CPU suite's backend default — equals the fused CPU contraction
+    (ADVICE r2: the production TPU branch had no CPU-side test)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rslmtoasa_tpu.ops.block_lanczos import gram_sum
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((3, 11, 6, 5)) + 1j * rng.standard_normal(
+        (3, 11, 6, 5))
+    y = rng.standard_normal((3, 11, 6, 4)) + 1j * rng.standard_normal(
+        (3, 11, 6, 4))
+    fused = np.asarray(gram_sum(jnp.asarray(x), jnp.asarray(y),
+                                decomposed=False))
+    dec = np.asarray(gram_sum(jnp.asarray(x), jnp.asarray(y),
+                              decomposed=True))
+    np.testing.assert_allclose(dec, fused, atol=1e-12)
