@@ -771,7 +771,9 @@ class MSEngine:
             i = j + 1
         work = sum(n * int(np.prod(np.asarray(b[1]) - np.asarray(b[0])))
                    for n, b in plan)
-        if work >= 0.7 * nsteps * full:
+        # even modest work savings win: the subgrid convs are the same
+        # per-cell cost and stage-transition pads are cheap
+        if work >= 0.85 * nsteps * full:
             return None
         return plan
 

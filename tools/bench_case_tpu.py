@@ -20,22 +20,32 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def run_case(case_dir, patch, hoh, mode):
+def run_case(case, lld_cap=None):
+    """case: a cases.json entry — the REAL patch (incl. the chebyshev
+    energy-window widening) is applied with the suite's own helper."""
+    import json
+
     import jax
     import jax.numpy as jnp
+
+    sys.path.insert(0, "tests")
+    import test_scf_cases as T
 
     from rslmtoasa_tpu.config import JobConfig
     from rslmtoasa_tpu.models.bulk import BulkSystem
 
+    case_dir = os.path.join("/root/reference/tests/scf/cases",
+                            case["case"])
+    mode = case["namelists"]["control"]["recur"]
+    hoh = bool(case["namelists"].get("hamiltonian", {}).get("hoh"))
     wd = tempfile.mkdtemp(prefix="rslmto_gate_")
     for f in os.listdir(case_dir):
         shutil.copy(os.path.join(case_dir, f), wd)
     cfg = JobConfig.from_file(os.path.join(wd, "input.nml"))
     cfg.atoms.database = wd
-    cfg.control.nsp = patch.get("nsp", 2)
-    cfg.control.recur = mode
-    cfg.control.lld = patch.get("lld", 20)
-    cfg.hamiltonian.hoh = hoh
+    T.apply_patch(cfg, case.get("namelists", {}))
+    if lld_cap:
+        cfg.control.lld = min(cfg.control.lld, lld_cap)
     sys_ = BulkSystem.build(cfg, wd)
     sys_.build_hamiltonian()
     print(f"# kk={sys_.cluster.kk} ntot={sys_.cluster.cell.ntot} "
@@ -122,13 +132,20 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/rslmto_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import json
+
     mode = sys.argv[1] if len(sys.argv) > 1 else "block"
-    base = "/root/reference/tests/scf/cases/bulk"
-    lld = 20 if mode == "block" else 50
-    run_case(os.path.join(base, "bccFe"),
-             {"nsp": 2, "lld": lld}, True, mode)
-    run_case(os.path.join(base, "Pt2MnGa"),
-             {"nsp": 2, "lld": lld}, False, mode)
+    cases = json.load(open(
+        "/root/reference/tests/scf/cases.json"))["cases"]
+    names = {
+        "block": ("Example_bulk_bccFe_nsp2_block_hoh",
+                  "Example_bulk_Pt2MnGa_block"),
+        "chebyshev": ("Example_bulk_bccFe_nsp2_chebyshev_hoh",
+                      "Example_bulk_Pt2MnGa_chebyshev"),
+    }[mode]
+    for name in names:
+        case = next(c for c in cases if c["name"] == name)
+        run_case(case, lld_cap=50 if mode == "chebyshev" else None)
 
 
 if __name__ == "__main__":

@@ -28,8 +28,22 @@ def main():
     from rslmtoasa_tpu.ops.block_lanczos import block_start_vectors
     from rslmtoasa_tpu.ops.msconv import MSEngine, build_ms_stencil
 
-    sys_ = build_synthetic_bcc(rc=rc, ndim=3000000, lld=lld, nsp=2)
-    cl, hb = sys_.cluster, sys_.ham
+    # build_synthetic_bcc's bravais_cluster caps the sphere at
+    # 0.8*npe/2 (the reference's rs guard); raise npe for large rc
+    import rslmtoasa_tpu.geometry as G
+
+    sys_ = build_synthetic_bcc(rc=4.0, ndim=4000, lld=lld, nsp=2)
+    cell = sys_.cluster.cell
+    cl = G.bravais_cluster(cell, alat=sys_.cfg.lattice.alat, rc=rc,
+                           ndim=4000000, npe=int(2 * rc / 0.8) + 4,
+                           wav=sys_.cfg.lattice.wav)
+    G.neighbor_map(cl, ct1=3.0)
+    sys_.cluster = cl
+    sys_.sbars, sys_.sbarvecs = G.sbar_for_cluster(
+        cl.cr_ang, cl.iu, cl.wav, 9.0)
+    sys_.ham = None
+    sys_.build_hamiltonian()
+    hb = sys_.ham
     st = build_ms_stencil(cl)
     print(f"# kk={cl.kk} dims={st.dims} lld={lld}", file=sys.stderr)
     eng = MSEngine(st, hb.ee, hb.lsham)

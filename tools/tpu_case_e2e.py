@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""End-to-end reference cases on the TPU: full SCF (block+HoH bcc Fe,
+Pt2MnGa) and Kubo conductivity (fccPt ±HoH) through the production CLI
+pipeline, gated against the stored reference values with the same
+helpers the CPU suite uses (tests/test_scf_cases.py).
+
+The SCF gate stays at the reference 1e-6; the conductivity text gate is
+relaxed to 1e-3 of the column scale (the device KPM engine is realified
+f32 + Precision.HIGHEST; CPU f64 parity at 1e-6 is covered by the
+suite).
+
+Usage: python tools/tpu_case_e2e.py [scf|cond|all]   (repo root, TPU)
+"""
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rslmto_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+    import test_scf_cases as T
+
+    ok = True
+    if what in ("scf", "all"):
+        cases = json.load(open(
+            "/root/reference/tests/scf/cases.json"))["cases"]
+        for name in ("Example_bulk_bccFe_nsp2_block_hoh",
+                     "Example_bulk_Pt2MnGa_block"):
+            case = next(c for c in cases if c["name"] == name)
+            ref = json.load(open(os.path.join(
+                "/root/reference/tests/scf/references", name, "ref.json")))
+            t0 = time.time()
+            wd = T.run_case(case)
+            dt = time.time() - t0
+            good = True
+            try:
+                for spec in case.get("checks", {}).get("nml", []):
+                    T.check_nml(wd, dict(spec, _ref=ref["nml"][spec["file"]]),
+                                case.get("abs_tol", 1e-6),
+                                case.get("rel_tol", 1e-6))
+                for spec in case.get("checks", {}).get("text", []):
+                    T.check_text(wd, dict(spec,
+                                          _ref=ref["text"][spec["file"]]),
+                                 case.get("abs_tol", 1e-6),
+                                 case.get("rel_tol", 1e-6))
+            except AssertionError as e:
+                good = False
+                print(f"  {e}")
+            ok &= good
+            print(f"SCF {name}: {dt:.1f}s wall  "
+                  f"{'PASS' if good else 'FAIL'}")
+            shutil.rmtree(wd, ignore_errors=True)
+
+    if what in ("cond", "all"):
+        import tempfile
+
+        from rslmtoasa_tpu.cli import run_calculation
+        from rslmtoasa_tpu.config import JobConfig
+
+        cases = json.load(open(
+            "/root/reference/tests/postproc/cases.json"))["cases"]
+        for name in ("Example_exchange_conductivity_fccPt",
+                     "Example_exchange_conductivity_fccPt_hoh"):
+            case = next(c for c in cases if c["name"] == name)
+            case_dir = os.path.join(
+                "/root/reference/tests/postproc/cases", case["case"])
+            ref = json.load(open(os.path.join(
+                "/root/reference/tests/postproc/references", name,
+                "ref.json")))
+            wd = tempfile.mkdtemp(prefix="rslmto_e2e_")
+            for f in os.listdir(case_dir):
+                shutil.copy(os.path.join(case_dir, f), wd)
+            cfg = JobConfig.from_file(os.path.join(wd, "input.nml"))
+            cfg.atoms.database = wd
+            T.apply_patch(cfg, case.get("namelists", {}))
+            # generation-time energy window (tests/test_postproc_cases.py)
+            cfg.energy.fermi = -0.085837
+            cfg.energy.energy_min = -2.5
+            cfg.energy.energy_max = 1.2
+            t0 = time.time()
+            rc = run_calculation(cfg, wd)
+            dt = time.time() - t0
+            good = rc == 0
+            for spec in case.get("checks", {}).get("text", []):
+                dat = [l.split() for l in
+                       open(os.path.join(wd, spec["file"])).readlines()]
+                for row, cols in ref["text"][spec["file"]].items():
+                    vals = [v for v in cols.values()
+                            if not (isinstance(v, float) and math.isnan(v))]
+                    scale = max(max(abs(v) for v in vals), 1e-30)
+                    for col, want in cols.items():
+                        if isinstance(want, float) and math.isnan(want):
+                            continue
+                        got = float(dat[int(row) - 1][int(col) - 1])
+                        g = abs(got - want) < 1e-3 * scale + 5e-9
+                        good = good and g
+                        if not g:
+                            print(f"  [{row},{col}] got {got:.6e} "
+                                  f"want {want:.6e} FAIL")
+            ok &= good
+            print(f"COND {name}: {dt:.1f}s wall  "
+                  f"{'PASS' if good else 'FAIL'}")
+            shutil.rmtree(wd, ignore_errors=True)
+
+    print("E2E:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
