@@ -65,6 +65,9 @@ class MSStencil:
     slot_ok: np.ndarray  # (ntot, nslots) slot exists for this basis
     mask: np.ndarray  # (ntot, nx, ny, nz) f32 occupancy
     kk: int
+    #: per-atom 0-based types when some basis carries MULTIPLE types
+    #: (surface slabs: types per layer); None for type-pure bases
+    atom_type: Optional[np.ndarray] = None
 
 
 def build_ms_stencil(cl) -> MSStencil:
@@ -101,18 +104,25 @@ def build_ms_stencil(cl) -> MSStencil:
     slot_ok = np.zeros((nb, nslots), bool)
     slot_ok[:, 0] = True
     nbas[:, 0] = np.arange(nb)
-    # surface/multi-type-per-basis guard: all atoms of a basis must share
-    # one Hamiltonian row type
+    # per-basis types: type-pure bases (bulk crystals) use the plain
+    # kernel; bases carrying multiple types (surface slabs: one type
+    # per layer) get masked delta-kernel corrections (see MSEngine) —
+    # the geometry must still be a constant-offset sublattice, but the
+    # type distribution over it is arbitrary
     basis_type = np.full(nb, -1, np.int64)
     iz0 = (np.asarray(cl.iz) - 1).astype(np.int64)
+    layered = False
     for b in range(nb):
         sel = basis == b
         if not sel.any():
             raise ValueError(f"basis {b} has no atoms")
         tt = np.unique(iz0[sel])
         if tt.size != 1:
-            raise ValueError("basis maps to multiple types (layered cell)")
-        basis_type[b] = tt[0]
+            layered = True
+            # dominant (bulk) type carries the main kernel
+            basis_type[b] = np.bincount(iz0[sel]).argmax()
+        else:
+            basis_type[b] = tt[0]
         # representative: an atom of this basis with the full slot set
         cand = np.nonzero(sel & (cl.nn >= 0).all(axis=1))[0]
         la = int(cand[0]) if cand.size else int(np.nonzero(sel)[0][0])
@@ -123,6 +133,7 @@ def build_ms_stencil(cl) -> MSStencil:
             dcells[b, s] = cells[j] - cells[la]
             nbas[b, s] = basis[j]
             slot_ok[b, s] = True
+    atom_type = iz0 if layered else None
     # every slot of every basis must be represented (otherwise an interior
     # atom's hop would be silently dropped)
     for b in range(nb):
@@ -143,7 +154,8 @@ def build_ms_stencil(cl) -> MSStencil:
     mask[basis, cells[:, 0], cells[:, 1], cells[:, 2]] = 1.0
     return MSStencil(dims=dims, ntot=nb, cells=cells, basis=basis,
                      basis_type=basis_type, dcells=dcells, nbasis=nbas,
-                     slot_ok=slot_ok, mask=mask, kk=cl.kk)
+                     slot_ok=slot_ok, mask=mask, kk=cl.kk,
+                     atom_type=atom_type)
 
 
 # ----------------------------------------------------------------------
@@ -543,24 +555,37 @@ def _ds_neg(p):
 # on a small box and the full grid is only touched by the last stage.
 
 
-def _apply_h_chunks(w, w_o, w_ons, mask_chan, scale, scale_o, scale_ons,
-                    radius, groups, hoh, xq, fx):
+def _conv_corr(w, scale, corr_list, xq, fx, mask_chan, radius, groups):
+    """One kernel family: main conv + masked delta convs for surface
+    layers whose type differs from the basis's dominant (bulk) type —
+    the zmask restricts each correction to its own z-planes, so the
+    composite equals the per-layer-type operator exactly."""
+    y = conv_chunks(w, xq, fx, scale, mask_chan, radius, groups)
+    for (wc, sc, zm) in corr_list:
+        y = ds_add(y, conv_chunks(wc, xq, fx, sc, zm, radius, groups))
+    return y
+
+
+def _apply_h_chunks(w, w_o, w_ons, corr, mask_chan, scale, scale_o,
+                    scale_ons, radius, groups, hoh, xq, fx):
     no_rad = (0, 0, 0)
     all_grp = ((0, w_ons.shape[1]),)
+    cm, co, cons = corr
     if hoh:
         # H = h - eeo.(h psi) + (enim + ls) psi (hop_b_hoh :1411)
-        h1 = conv_chunks(w, xq, fx, scale, mask_chan, radius, groups)
+        h1 = _conv_corr(w, scale, cm, xq, fx, mask_chan, radius, groups)
         hq, fh = extract_scaled(h1)
-        h2 = conv_chunks(w_o, hq, fh, scale_o, mask_chan, radius, groups)
-        ons = conv_chunks(w_ons, xq, fx, scale_ons, mask_chan,
-                          no_rad, all_grp)
+        h2 = _conv_corr(w_o, scale_o, co, hq, fh, mask_chan, radius,
+                        groups)
+        ons = _conv_corr(w_ons, scale_ons, cons, xq, fx, mask_chan,
+                         no_rad, all_grp)
         return ds_add(ds_add(h1, _ds_neg(h2)), ons)
-    return conv_chunks(w, xq, fx, scale, mask_chan, radius, groups)
+    return _conv_corr(w, scale, cm, xq, fx, mask_chan, radius, groups)
 
 
 @partial(jax.jit, static_argnames=("nsteps", "hoh", "radius", "groups",
                                   "nb", "d", "unroll"))
-def _block_stage_ms_jit(w, w_o, w_ons, mask_chan, psi, pmn, sum_b,
+def _block_stage_ms_jit(w, w_o, w_ons, corr, mask_chan, psi, pmn, sum_b,
                         scale, scale_o, scale_ons, nsteps: int, hoh: bool,
                         radius, groups, nb: int, d: int, unroll: int = 1):
     """nsteps of the block recursion from a full carry.  psi/pmn are
@@ -570,8 +595,8 @@ def _block_stage_ms_jit(w, w_o, w_ons, mask_chan, psi, pmn, sum_b,
 
     r = sum_b.shape[0]
     nd = psi[0].shape[1]
-    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, mask_chan, scale,
-                      scale_o, scale_ons, radius, groups, hoh)
+    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, corr, mask_chan,
+                      scale, scale_o, scale_ons, radius, groups, hoh)
 
     def step(carry, _):
         psi, pmn, sum_b_prev = carry
@@ -604,17 +629,17 @@ def _block_stage_ms_jit(w, w_o, w_ons, mask_chan, psi, pmn, sum_b,
 
 
 @partial(jax.jit, static_argnames=("hoh", "radius", "groups", "nb", "d"))
-def _cheb_init_ms_jit(w, w_o, w_ons, mask_chan, psi0, scale, scale_o,
-                      scale_ons, ainv_p, b_p, hoh: bool, radius, groups,
-                      nb: int, d: int):
+def _cheb_init_ms_jit(w, w_o, w_ons, corr, mask_chan, psi0, scale,
+                      scale_o, scale_ons, ainv_p, b_p, hoh: bool, radius,
+                      groups, nb: int, d: int):
     """First Chebyshev application + mu0/mu1 (T_0, T_1 seeds)."""
     r = psi0.shape[0]
     psi0 = psi0.reshape((r * d,) + psi0.shape[2:])
     nd = psi0.shape[1]
     from .df64 import ds_mul
 
-    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, mask_chan, scale,
-                      scale_o, scale_ons, radius, groups, hoh)
+    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, corr, mask_chan,
+                      scale, scale_o, scale_ons, radius, groups, hoh)
     psi0p = (psi0, jnp.zeros_like(psi0))
     x0q, f0 = extract_scaled(psi0p)
     mu0 = _pair_f64(gram_chunks(x0q, f0, x0q, f0, r, d, nd))
@@ -628,7 +653,7 @@ def _cheb_init_ms_jit(w, w_o, w_ons, mask_chan, psi0, scale, scale_o,
 
 @partial(jax.jit, static_argnames=("nsteps", "hoh", "radius", "groups",
                                   "nb", "d", "unroll"))
-def _cheb_stage_ms_jit(w, w_o, w_ons, mask_chan, p0, p1, mu0, mu1,
+def _cheb_stage_ms_jit(w, w_o, w_ons, corr, mask_chan, p0, p1, mu0, mu1,
                        scale, scale_o, scale_ons, ainv_p, b_p,
                        nsteps: int, hoh: bool, radius, groups,
                        nb: int, d: int, unroll: int = 1):
@@ -637,8 +662,8 @@ def _cheb_stage_ms_jit(w, w_o, w_ons, mask_chan, p0, p1, mu0, mu1,
     nd = p0[0].shape[1]
     from .df64 import ds_mul
 
-    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, mask_chan, scale,
-                      scale_o, scale_ons, radius, groups, hoh)
+    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, corr, mask_chan,
+                      scale, scale_o, scale_ons, radius, groups, hoh)
 
     def apply_ht(xq, fx, psi):
         hpsi = apply_h(xq, fx)
@@ -722,6 +747,74 @@ class MSEngine:
             self.w_ons = jnp.zeros((nd, nd, 1, 1, 1), jnp.bfloat16)
             self.scale_ons = 1.0
         self.mask_chan = jnp.asarray(mask_channels(st, self.d))
+        # surface slabs: masked delta-kernel corrections for layers whose
+        # type differs from the basis's dominant type (one per special
+        # (basis, type); applied as extra convs restricted by zmask)
+        self.corr_main = ()
+        self.corr_o = ()
+        self.corr_ons = ()
+        if st.atom_type is not None:
+            import dataclasses
+
+            def zmask_chan(b, t):
+                m = np.zeros_like(st.mask)
+                sel = (st.basis == b) & (st.atom_type == t)
+                cc = st.cells[sel]
+                m[b, cc[:, 0], cc[:, 1], cc[:, 2]] = 1.0
+                return jnp.asarray(np.repeat(m, self.d, axis=0))
+
+            def deltas(table_fn):
+                out = []
+                for b in range(st.ntot):
+                    tmain = int(st.basis_type[b])
+                    tset = sorted(set(
+                        int(x) for x in st.atom_type[st.basis == b]
+                        if x != tmain))
+                    for t in tset:
+                        hsd = np.zeros((st.ntot,) + table_fn(0).shape)
+                        hsd[b] = table_fn(t) - table_fn(tmain)
+                        if np.abs(hsd).max() < 1e-300:
+                            continue
+                        out.append((b, t, hsd))
+                return out
+
+            st_id = dataclasses.replace(
+                st, basis_type=np.arange(st.ntot, dtype=np.int64))
+            all_groups = set(self.groups)
+            if self.hoh:
+                fam = [("corr_main", lambda t: hs_r[t]),
+                       ("corr_o",
+                        lambda t: realify_blocks(np.asarray(hso))[t]),
+                       ("corr_ons", lambda t: (en_r + ls_r)[t])]
+            else:
+                fam = [("corr_main", lambda t: hs_fold[t])]
+            for name, fn in fam:
+                cc = []
+                for b, t, hsd in deltas(fn):
+                    if name == "corr_ons":
+                        wc, sc = pack_ms_onsite_df64(hsd, st_id)
+                        gc = ((0, self.w_ons.shape[1]),)
+                    else:
+                        wc, sc, rad_c, gc = pack_ms_kernel_df64(hsd, st_id)
+                        if rad_c != self.radius:
+                            raise ValueError("correction radius mismatch")
+                    all_groups |= set(gc)
+                    cc.append((wc, jnp.float32(sc), zmask_chan(b, t)))
+                setattr(self, name, tuple(cc))
+            bounds = sorted({p for g in all_groups for p in g})
+            self.groups = tuple(zip(bounds[:-1], bounds[1:]))
+
+    @property
+    def corr(self):
+        return (self.corr_main, self.corr_o, self.corr_ons)
+
+    def _corr_sliced(self, bbox):
+        """Correction triples with zmasks sliced to a stage subgrid."""
+        if not (self.corr_main or self.corr_o or self.corr_ons):
+            return ((), (), ())
+        sl = lambda cc: tuple((w, s, self._slice_grid(zm, bbox))
+                              for (w, s, zm) in cc)
+        return (sl(self.corr_main), sl(self.corr_o), sl(self.corr_ons))
 
     # -- start blocks --------------------------------------------------
     def embed(self, psi0_complex: np.ndarray) -> jnp.ndarray:
@@ -824,7 +917,8 @@ class MSEngine:
             mask_sub = self._slice_grid(self.mask_chan, bbox)
             unroll = nsteps if unroll_all else 1
             psi, pmn, sum_b, a_b, b2_b = _block_stage_ms_jit(
-                self.w, self.w_o, self.w_ons, mask_sub, psi, pmn, sum_b,
+                self.w, self.w_o, self.w_ons, self._corr_sliced(bbox),
+                mask_sub, psi, pmn, sum_b,
                 *args, nsteps, self.hoh, self.radius, self.groups,
                 self.st.ntot, d, unroll)
             a_parts.append(np.asarray(a_b))
@@ -867,7 +961,8 @@ class MSEngine:
         flat = psi0_grid[..., lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
         mask_sub = self._slice_grid(self.mask_chan, init_bbox)
         p0, p1, mu0, mu1 = _cheb_init_ms_jit(
-            self.w, self.w_o, self.w_ons, mask_sub, flat, *args,
+            self.w, self.w_o, self.w_ons, self._corr_sliced(init_bbox),
+            mask_sub, flat, *args,
             self.hoh, self.radius, self.groups, self.st.ntot, d)
         odd_parts, even_parts = [], []
         prev = init_bbox
@@ -878,7 +973,8 @@ class MSEngine:
             mask_sub = self._slice_grid(self.mask_chan, bbox)
             unroll = nsteps if unroll_all else 1
             p0, p1, mu_odd, mu_even = _cheb_stage_ms_jit(
-                self.w, self.w_o, self.w_ons, mask_sub, p0, p1, mu0, mu1,
+                self.w, self.w_o, self.w_ons, self._corr_sliced(bbox),
+                mask_sub, p0, p1, mu0, mu1,
                 *args, nsteps, self.hoh, self.radius, self.groups,
                 self.st.ntot, d, unroll)
             odd_parts.append(np.asarray(mu_odd))

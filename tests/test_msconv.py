@@ -100,3 +100,51 @@ def test_ms_stencil_rejects_impurity():
     cl.nmax = 3
     with pytest.raises(ValueError):
         build_ms_stencil(cl)
+
+
+def test_ms_surface_layered_parity(reference_dir):
+    """Surface slabs on the conv engine: per-layer types become masked
+    delta-kernel corrections (bulk main kernel + (H_t - H_bulk) convs
+    restricted to their z-planes).  Parity vs the gather engine on a
+    reduced real fccCu001 cluster, with and without HoH."""
+    import os
+    import shutil
+    import tempfile
+
+    from rslmtoasa_tpu.config import JobConfig
+    from rslmtoasa_tpu.models.bulk import BulkSystem
+
+    src = str(reference_dir / "tests/scf/cases/surface/fccCu001")
+    wd = tempfile.mkdtemp(prefix="rslmto_surf_")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), wd)
+    cfg = JobConfig.from_file(os.path.join(wd, "input.nml"))
+    cfg.atoms.database = wd
+    cfg.control.nsp = 2
+    cfg.lattice.rc = 18.0  # small slab for CPU parity
+    cfg.lattice.ndim = 30000
+    for hoh in (False, True):
+        cfg.hamiltonian.hoh = hoh
+        sys_ = BulkSystem.build(cfg, wd)
+        sys_.build_hamiltonian()
+        cl, hb = sys_.cluster, sys_.ham
+        assert hb.blocks is None, "surface should use per-type ELL rows"
+        st = build_ms_stencil(cl)
+        assert st.atom_type is not None, "layered stencil expected"
+        lsham = hb.lsham
+        rec = [int(j) - 1 for j in cl.irec]
+        psi0 = block_start_vectors(cl.kk, rec)
+        lld = 5
+        a_ref, b_ref = block_lanczos(
+            jnp.asarray(hb.ee), jnp.asarray(lsham), jnp.asarray(hb.iz),
+            jnp.asarray(hb.cols), jnp.asarray(psi0), lld, hoh=hoh,
+            hso=jnp.asarray(hb.eeo) if hoh else None,
+            enim=jnp.asarray(hb.enim) if hoh else None)
+        eng = MSEngine(st, hb.ee, lsham, hoh=hoh,
+                       hso=hb.eeo if hoh else None,
+                       enim=hb.enim if hoh else None)
+        assert eng.corr_main, "surface corrections expected"
+        a_ms, b_ms = eng.block_lanczos(eng.embed(psi0), lld)
+        np.testing.assert_allclose(a_ms, np.asarray(a_ref), atol=1e-10)
+        np.testing.assert_allclose(b_ms, np.asarray(b_ref), atol=1e-10)
+    shutil.rmtree(wd, ignore_errors=True)

@@ -34,8 +34,11 @@ def main():
 
     sys_ = build_synthetic_bcc(rc=4.0, ndim=4000, lld=lld, nsp=2)
     cell = sys_.cluster.cell
+    # rc is r^2 in alat units (reference bravais convention); npe must
+    # not cap the sphere: 0.8*npe/2 >= sqrt(rc)
     cl = G.bravais_cluster(cell, alat=sys_.cfg.lattice.alat, rc=rc,
-                           ndim=4000000, npe=int(2 * rc / 0.8) + 4,
+                           ndim=4000000,
+                           npe=int(2.0 * np.sqrt(rc) / 0.8) + 6,
                            wav=sys_.cfg.lattice.wav)
     G.neighbor_map(cl, ct1=3.0)
     sys_.cluster = cl
