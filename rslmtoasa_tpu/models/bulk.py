@@ -329,11 +329,14 @@ class BulkSystem:
             # partition, recursion.f90:1816)
             from ..parallel.dispatch import block_lanczos_auto
 
+            ms_local = None if hb.blocks is None else {
+                "nmax": cl.nmax, "cols": hb.cols, "hall": hb.hall,
+                "hallo": hb.hallo}
             a_b, b2_b = block_lanczos_auto(
                 blocks, lsham, iz_rows, hb.cols, psi0, lld,
                 hoh=hoh, hso=blocks_o if hoh else None,
                 enim=hb.enim if hoh else None, iz_onsite=iz_sp,
-                cluster=cl if hb.blocks is None else None,
+                cluster=cl, ms_local=ms_local,
             )
         return a_b, b2_b
 
@@ -364,11 +367,14 @@ class BulkSystem:
             # MPI atom partition)
             from ..parallel.dispatch import chebyshev_moments_auto
 
+            ms_local = None if hb.blocks is None else {
+                "nmax": cl.nmax, "cols": hb.cols, "hall": hb.hall,
+                "hallo": hb.hallo}
             mu = chebyshev_moments_auto(
                 blocks, lsham, iz_rows, hb.cols, psi0, lld, a, b,
                 hoh=hoh, hso=blocks_o if hoh else None,
                 enim=hb.enim if hoh else None, iz_onsite=iz_sp,
-                cluster=cl if hb.blocks is None else None,
+                cluster=cl, ms_local=ms_local,
             )
         return np.asarray(mu)
 

@@ -79,8 +79,9 @@ def build_ms_stencil(cl) -> MSStencil:
     """
     if cl.nn is None or cl.dirs is None:
         raise ValueError("cluster has no neighbor map")
-    if getattr(cl, "nmax", 0):
-        raise ValueError("impurity-local zone breaks translation invariance")
+    # impurity local zones keep the lattice geometry (newclu re-types
+    # atoms in place); their per-atom hall rows become small gather
+    # corrections in MSEngine, so they are NOT a stencil obstruction
     if any(getattr(cl, "pbc_wrap", (False,) * 3)):
         raise ValueError("wrapped PBC aliases conv taps")
     nb = cl.cell.ntot
@@ -555,6 +556,31 @@ def _ds_neg(p):
 # on a small box and the full grid is only touched by the last stage.
 
 
+def _local_corr(y, x_pair, delta64, chan_idx, cell_idx, out_idx):
+    """Per-atom impurity correction (the ``hall`` local rows,
+    hamiltonian.f90 build_locham): y[local atom] += sum_m
+    (hall[i,m] - ee[type_i,m]) x[neighbor].  nmax is small, so the
+    gather + einsum runs in emulated f64 on tiny arrays and the result
+    scatter-adds into the pair with a compensated update."""
+    r36 = x_pair[0].shape[0]
+    nd = x_pair[0].shape[1]
+    xf = (x_pair[0].reshape(r36, nd, -1), x_pair[1].reshape(r36, nd, -1))
+    xg = (xf[0][:, chan_idx, cell_idx[..., None]]
+          .astype(jnp.float64)
+          + xf[1][:, chan_idx, cell_idx[..., None]].astype(jnp.float64))
+    # xg: (r36, nmax, nslots, D)
+    corr = jnp.einsum("rimq,impq->rip", xg, delta64)
+    ch = corr.astype(jnp.float32)
+    cl_ = (corr - ch.astype(jnp.float64)).astype(jnp.float32)
+    yh = y[0].reshape(r36, -1)
+    yl = y[1].reshape(r36, -1)
+    old = yh[:, out_idx]
+    snew, e = two_sum(old, ch.reshape(r36, -1))
+    yh = yh.at[:, out_idx].set(snew)
+    yl = yl.at[:, out_idx].add(e + cl_.reshape(r36, -1))
+    return (yh.reshape(y[0].shape), yl.reshape(y[1].shape))
+
+
 def _conv_corr(w, scale, corr_list, xq, fx, mask_chan, radius, groups):
     """One kernel family: main conv + masked delta convs for surface
     layers whose type differs from the basis's dominant (bulk) type —
@@ -567,27 +593,39 @@ def _conv_corr(w, scale, corr_list, xq, fx, mask_chan, radius, groups):
 
 
 def _apply_h_chunks(w, w_o, w_ons, corr, mask_chan, scale, scale_o,
-                    scale_ons, radius, groups, hoh, xq, fx):
+                    scale_ons, radius, groups, hoh, xq, fx, x_pair=None,
+                    local=None):
     no_rad = (0, 0, 0)
     all_grp = ((0, w_ons.shape[1]),)
     cm, co, cons = corr
     if hoh:
         # H = h - eeo.(h psi) + (enim + ls) psi (hop_b_hoh :1411)
         h1 = _conv_corr(w, scale, cm, xq, fx, mask_chan, radius, groups)
+        if local is not None:
+            h1 = _local_corr(h1, x_pair, local["delta"], local["chan"],
+                             local["cell"], local["out"])
         hq, fh = extract_scaled(h1)
         h2 = _conv_corr(w_o, scale_o, co, hq, fh, mask_chan, radius,
                         groups)
+        if local is not None:
+            h2 = _local_corr(h2, h1, local["delta_o"], local["chan"],
+                             local["cell"], local["out"])
         ons = _conv_corr(w_ons, scale_ons, cons, xq, fx, mask_chan,
                          no_rad, all_grp)
         return ds_add(ds_add(h1, _ds_neg(h2)), ons)
-    return _conv_corr(w, scale, cm, xq, fx, mask_chan, radius, groups)
+    y = _conv_corr(w, scale, cm, xq, fx, mask_chan, radius, groups)
+    if local is not None:
+        y = _local_corr(y, x_pair, local["delta"], local["chan"],
+                        local["cell"], local["out"])
+    return y
 
 
 @partial(jax.jit, static_argnames=("nsteps", "hoh", "radius", "groups",
                                   "nb", "d", "unroll"))
-def _block_stage_ms_jit(w, w_o, w_ons, corr, mask_chan, psi, pmn, sum_b,
-                        scale, scale_o, scale_ons, nsteps: int, hoh: bool,
-                        radius, groups, nb: int, d: int, unroll: int = 1):
+def _block_stage_ms_jit(w, w_o, w_ons, corr, local, mask_chan, psi, pmn,
+                        sum_b, scale, scale_o, scale_ons, nsteps: int,
+                        hoh: bool, radius, groups, nb: int, d: int,
+                        unroll: int = 1):
     """nsteps of the block recursion from a full carry.  psi/pmn are
     df64 pairs (r*d, nd, *grid); sum_b is f64 (r, d, d).  Returns the
     advanced carry plus the emitted (a_ll, b2) blocks."""
@@ -596,12 +634,13 @@ def _block_stage_ms_jit(w, w_o, w_ons, corr, mask_chan, psi, pmn, sum_b,
     r = sum_b.shape[0]
     nd = psi[0].shape[1]
     apply_h = partial(_apply_h_chunks, w, w_o, w_ons, corr, mask_chan,
-                      scale, scale_o, scale_ons, radius, groups, hoh)
+                      scale, scale_o, scale_ons, radius, groups, hoh,
+                      local=local)
 
     def step(carry, _):
         psi, pmn, sum_b_prev = carry
         xq, fx = extract_scaled(psi)
-        hpsi = apply_h(xq, fx)
+        hpsi = apply_h(xq, fx, x_pair=psi)
         hq, fh = extract_scaled(hpsi)
         a_ll = gram_chunks(xq, fx, hq, fh, r, d, nd)
         aq, fa = extract_small(a_ll)
@@ -629,7 +668,7 @@ def _block_stage_ms_jit(w, w_o, w_ons, corr, mask_chan, psi, pmn, sum_b,
 
 
 @partial(jax.jit, static_argnames=("hoh", "radius", "groups", "nb", "d"))
-def _cheb_init_ms_jit(w, w_o, w_ons, corr, mask_chan, psi0, scale,
+def _cheb_init_ms_jit(w, w_o, w_ons, corr, local, mask_chan, psi0, scale,
                       scale_o, scale_ons, ainv_p, b_p, hoh: bool, radius,
                       groups, nb: int, d: int):
     """First Chebyshev application + mu0/mu1 (T_0, T_1 seeds)."""
@@ -639,11 +678,12 @@ def _cheb_init_ms_jit(w, w_o, w_ons, corr, mask_chan, psi0, scale,
     from .df64 import ds_mul
 
     apply_h = partial(_apply_h_chunks, w, w_o, w_ons, corr, mask_chan,
-                      scale, scale_o, scale_ons, radius, groups, hoh)
+                      scale, scale_o, scale_ons, radius, groups, hoh,
+                      local=local)
     psi0p = (psi0, jnp.zeros_like(psi0))
     x0q, f0 = extract_scaled(psi0p)
     mu0 = _pair_f64(gram_chunks(x0q, f0, x0q, f0, r, d, nd))
-    hpsi = apply_h(x0q, f0)
+    hpsi = apply_h(x0q, f0, x_pair=psi0p)
     num = ds_add(hpsi, _ds_neg(ds_mul(b_p, psi0p)))
     psi1 = ds_mul(ainv_p, num)
     x1q, f1 = extract_scaled(psi1)
@@ -653,8 +693,8 @@ def _cheb_init_ms_jit(w, w_o, w_ons, corr, mask_chan, psi0, scale,
 
 @partial(jax.jit, static_argnames=("nsteps", "hoh", "radius", "groups",
                                   "nb", "d", "unroll"))
-def _cheb_stage_ms_jit(w, w_o, w_ons, corr, mask_chan, p0, p1, mu0, mu1,
-                       scale, scale_o, scale_ons, ainv_p, b_p,
+def _cheb_stage_ms_jit(w, w_o, w_ons, corr, local, mask_chan, p0, p1,
+                       mu0, mu1, scale, scale_o, scale_ons, ainv_p, b_p,
                        nsteps: int, hoh: bool, radius, groups,
                        nb: int, d: int, unroll: int = 1):
     """nsteps of the Chebyshev doubling recursion from (T_{k-1}, T_k)."""
@@ -663,10 +703,11 @@ def _cheb_stage_ms_jit(w, w_o, w_ons, corr, mask_chan, p0, p1, mu0, mu1,
     from .df64 import ds_mul
 
     apply_h = partial(_apply_h_chunks, w, w_o, w_ons, corr, mask_chan,
-                      scale, scale_o, scale_ons, radius, groups, hoh)
+                      scale, scale_o, scale_ons, radius, groups, hoh,
+                      local=local)
 
     def apply_ht(xq, fx, psi):
-        hpsi = apply_h(xq, fx)
+        hpsi = apply_h(xq, fx, x_pair=psi)
         num = ds_add(hpsi, _ds_neg(ds_mul(b_p, psi)))
         return ds_mul(ainv_p, num)
 
@@ -712,7 +753,7 @@ class MSEngine:
     """
 
     def __init__(self, st: MSStencil, hs, lsham, *, hoh=False, hso=None,
-                 enim=None):
+                 enim=None, local=None):
         from .block_lanczos import realify_blocks
 
         self.st = st
@@ -720,6 +761,9 @@ class MSEngine:
         hs_r = realify_blocks(np.asarray(hs))
         ls_r = realify_blocks(np.asarray(lsham))
         self.hoh = bool(hoh)
+        self.local = None
+        if local is not None and int(local.get("nmax", 0)) > 0:
+            self.local = self._build_local(local, hs_r, hso, st)
         if self.hoh:
             en_r = realify_blocks(np.asarray(enim))
             self.w, self.scale, self.radius, self.groups = \
@@ -804,6 +848,47 @@ class MSEngine:
             bounds = sorted({p for g in all_groups for p in g})
             self.groups = tuple(zip(bounds[:-1], bounds[1:]))
 
+    # -- impurity local zone -------------------------------------------
+    def _build_local(self, local, hs_r, hso, st):
+        """Per-atom gather-correction tables for the impurity-local
+        ``hall`` rows (hamiltonian.f90 ``build_locham``): the conv
+        assigns ``ee[type_i]`` to every atom; nmax small deltas
+        (hall[i] - ee[type_i]) restore the exact per-atom rows."""
+        from .block_lanczos import realify_blocks
+
+        nmax = int(local["nmax"])
+        d = self.d
+        cols = np.asarray(local["cols"])[:nmax]
+        hall_r = realify_blocks(np.asarray(local["hall"]))
+        at = (st.atom_type if st.atom_type is not None
+              else st.basis_type[st.basis])
+        tloc = np.asarray(at)[:nmax]
+        delta = hall_r - hs_r[tloc]
+        absent = cols >= st.kk
+        delta[absent] = 0.0
+        if self.hoh:
+            hallo_r = realify_blocks(np.asarray(local["hallo"]))
+            eeo_r = realify_blocks(np.asarray(hso))
+            delta_o = hallo_r - eeo_r[tloc]
+            delta_o[absent] = 0.0
+        else:
+            delta_o = np.zeros_like(delta)
+        nx, ny, nz = st.dims
+        cell_lin = ((st.cells[:, 0] * ny + st.cells[:, 1]) * nz
+                    + st.cells[:, 2])
+        j = np.where(absent, 0, cols)
+        cellj = cell_lin[j]
+        bj = st.basis[j]
+        chan = bj[..., None] * d + np.arange(d)[None, None, :]
+        ncell = nx * ny * nz
+        out_idx = ((st.basis[:nmax, None] * d + np.arange(d)[None, :])
+                   * ncell + cell_lin[:nmax, None])
+        return {"delta": jnp.asarray(delta),
+                "delta_o": jnp.asarray(delta_o),
+                "chan": jnp.asarray(chan.astype(np.int32)),
+                "cell": jnp.asarray(cellj.astype(np.int32)),
+                "out": jnp.asarray(out_idx.ravel().astype(np.int32))}
+
     @property
     def corr(self):
         return (self.corr_main, self.corr_o, self.corr_ons)
@@ -839,6 +924,10 @@ class MSEngine:
         needs the box reached after (first_ball + i - 1 + 1) hop-radii.
         Returns [(nsteps_k, (lo, hi))] or None when dense is cheaper.
         """
+        if self.local is not None:
+            # impurity corrections index the FULL grid; subgrid staging
+            # would need index remapping per stage — not composed yet
+            return None
         hops = 2 if self.hoh else 1
         rad = np.asarray(self.radius)
         dims = np.asarray(self.st.dims)
@@ -918,7 +1007,7 @@ class MSEngine:
             unroll = nsteps if unroll_all else 1
             psi, pmn, sum_b, a_b, b2_b = _block_stage_ms_jit(
                 self.w, self.w_o, self.w_ons, self._corr_sliced(bbox),
-                mask_sub, psi, pmn, sum_b,
+                self.local, mask_sub, psi, pmn, sum_b,
                 *args, nsteps, self.hoh, self.radius, self.groups,
                 self.st.ntot, d, unroll)
             a_parts.append(np.asarray(a_b))
@@ -962,7 +1051,7 @@ class MSEngine:
         mask_sub = self._slice_grid(self.mask_chan, init_bbox)
         p0, p1, mu0, mu1 = _cheb_init_ms_jit(
             self.w, self.w_o, self.w_ons, self._corr_sliced(init_bbox),
-            mask_sub, flat, *args,
+            self.local, mask_sub, flat, *args,
             self.hoh, self.radius, self.groups, self.st.ntot, d)
         odd_parts, even_parts = [], []
         prev = init_bbox
@@ -974,7 +1063,7 @@ class MSEngine:
             unroll = nsteps if unroll_all else 1
             p0, p1, mu_odd, mu_even = _cheb_stage_ms_jit(
                 self.w, self.w_o, self.w_ons, self._corr_sliced(bbox),
-                mask_sub, p0, p1, mu0, mu1,
+                self.local, mask_sub, p0, p1, mu0, mu1,
                 *args, nsteps, self.hoh, self.radius, self.groups,
                 self.st.ntot, d, unroll)
             odd_parts.append(np.asarray(mu_odd))

@@ -156,7 +156,7 @@ def _wavefront_plan(cols, kk: int, psi0, lld: int, hoh: bool,
     return plan
 
 
-def _ms_engine_for(cluster, hs, lsham, hoh, hso, enim):
+def _ms_engine_for(cluster, hs, lsham, hoh, hso, enim, local=None):
     """Multi-site df64 conv engine for a crystal cluster, or ``None``
     when the cluster has no constant-offset stencil (impurity zones,
     wrapped PBC, layered types) or the engine is disabled.
@@ -183,14 +183,15 @@ def _ms_engine_for(cluster, hs, lsham, hoh, hso, enim):
             return None
         cluster._ms_stencil = st
     try:
-        return MSEngine(st, hs, lsham, hoh=hoh, hso=hso, enim=enim)
+        return MSEngine(st, hs, lsham, hoh=hoh, hso=hso, enim=enim,
+                        local=local)
     except ValueError:
         return None
 
 
 def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
                        hso=None, enim=None, iz_onsite=None, starts=None,
-                       cluster=None):
+                       cluster=None, ms_local=None):
     """Block recursion over R chains, sharded over the mesh when present.
 
     All inputs host arrays (complex128); returns host (a_b, b2_b) of
@@ -210,7 +211,15 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
     accel = jax.default_backend() != "cpu"
     mesh = _mesh_for(np.asarray(psi0).shape[0])
     eng = None
-    if accel and (iz_onsite is None or np.array_equal(iz_onsite, iz)):
+    if accel and ms_local is not None:
+        # impurity: the combined [hall; ee] row table splits into the
+        # bulk conv kernel + per-atom local gather corrections
+        nmax = int(ms_local["nmax"])
+        eng = _ms_engine_for(cluster, np.asarray(hs)[nmax:], lsham, hoh,
+                             np.asarray(hso)[nmax:]
+                             if hso is not None else None,
+                             enim, local=ms_local)
+    elif accel and (iz_onsite is None or np.array_equal(iz_onsite, iz)):
         # TPU production path: multi-site df64 bucket-conv engine
         # (ops/msconv.py) — exact SpMV on the MXU, ~1e-11 vs complex128
         eng = _ms_engine_for(cluster, hs, lsham, hoh, hso, enim)
@@ -332,7 +341,8 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
 
 def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
                            hoh=False, hso=None, enim=None, iz_onsite=None,
-                           starts=None, guard=True, cluster=None):
+                           starts=None, guard=True, cluster=None,
+                           ms_local=None):
     """Chebyshev block moments over R chains, mesh-sharded when present.
 
     Returns host mu (2*lld+2, R, 18, 18).  Large clusters route through
@@ -376,7 +386,13 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
 
     accel = jax.default_backend() != "cpu"
     eng = None
-    if accel and (iz_onsite is None or np.array_equal(iz_onsite, iz)):
+    if accel and ms_local is not None:
+        nmax = int(ms_local["nmax"])
+        eng = _ms_engine_for(cluster, np.asarray(hs)[nmax:], lsham, hoh,
+                             np.asarray(hso)[nmax:]
+                             if hso is not None else None,
+                             enim, local=ms_local)
+    elif accel and (iz_onsite is None or np.array_equal(iz_onsite, iz)):
         eng = _ms_engine_for(cluster, hs, lsham, hoh, hso, enim)
     if mesh is None:
         if eng is not None:

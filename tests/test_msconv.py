@@ -94,10 +94,15 @@ def test_ms_wavefront_staging_parity():
     np.testing.assert_allclose(mu_st, mu_dn, atol=1e-12)
 
 
-def test_ms_stencil_rejects_impurity():
+def test_ms_stencil_rejects_wrapped_pbc():
+    """Wrapped PBC aliases conv taps — the one cluster class with no
+    constant-offset embedding (impurity/surface clusters now build)."""
     sys_ = build_synthetic_bcc(rc=8.0, lld=4)
     cl = sys_.cluster
     cl.nmax = 3
+    build_ms_stencil(cl)  # impurity-local zones no longer reject
+    cl.nmax = 0
+    cl.pbc_wrap = (True, False, False)
     with pytest.raises(ValueError):
         build_ms_stencil(cl)
 
@@ -147,4 +152,56 @@ def test_ms_surface_layered_parity(reference_dir):
         a_ms, b_ms = eng.block_lanczos(eng.embed(psi0), lld)
         np.testing.assert_allclose(a_ms, np.asarray(a_ref), atol=1e-10)
         np.testing.assert_allclose(b_ms, np.asarray(b_ref), atol=1e-10)
+    shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_ms_impurity_local_parity(reference_dir):
+    """Impurity clusters on the conv engine: the per-atom hall rows of
+    the local zone become small gather corrections (delta_i = hall[i] -
+    ee[type_i]) on top of the bulk conv + type-masked corrections.
+    Parity vs the gather engine on a reduced real B2FeCo cluster,
+    with and without HoH."""
+    import os
+    import shutil
+    import tempfile
+
+    from rslmtoasa_tpu.config import JobConfig
+    from rslmtoasa_tpu.models.bulk import BulkSystem
+
+    src = str(reference_dir / "tests/scf/cases/impurity/B2FeCo")
+    wd = tempfile.mkdtemp(prefix="rslmto_imp_")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), wd)
+    cfg = JobConfig.from_file(os.path.join(wd, "input.nml"))
+    cfg.atoms.database = wd
+    cfg.control.nsp = 2
+    cfg.lattice.rc = 16.0  # reduced cluster for CPU parity
+    cfg.lattice.ndim = 30000
+    for hoh in (False, True):
+        cfg.hamiltonian.hoh = hoh
+        sys_ = BulkSystem.build(cfg, wd)
+        sys_.build_hamiltonian()
+        cl, hb = sys_.cluster, sys_.ham
+        assert hb.blocks is not None and cl.nmax > 0
+        lsham = hb.lsham
+        rec = [int(j) - 1 for j in cl.irec]
+        psi0 = block_start_vectors(cl.kk, rec)
+        lld = 5
+        a_ref, b_ref = block_lanczos(
+            jnp.asarray(hb.blocks), jnp.asarray(lsham),
+            jnp.asarray(hb.iz_eff), jnp.asarray(hb.cols),
+            jnp.asarray(psi0), lld, hoh=hoh,
+            hso=jnp.asarray(hb.blocks_o) if hoh else None,
+            enim=jnp.asarray(hb.enim) if hoh else None,
+            iz_onsite=jnp.asarray(hb.iz))
+        st = build_ms_stencil(cl)
+        eng = MSEngine(st, hb.ee, lsham, hoh=hoh,
+                       hso=hb.eeo if hoh else None,
+                       enim=hb.enim if hoh else None,
+                       local={"nmax": cl.nmax, "cols": hb.cols,
+                              "hall": hb.hall, "hallo": hb.hallo})
+        assert eng.local is not None
+        a_ms, b_ms = eng.block_lanczos(eng.embed(psi0), lld)
+        np.testing.assert_allclose(a_ms, np.asarray(a_ref), atol=1e-9)
+        np.testing.assert_allclose(b_ms, np.asarray(b_ref), atol=1e-9)
     shutil.rmtree(wd, ignore_errors=True)

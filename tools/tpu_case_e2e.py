@@ -39,7 +39,9 @@ def main():
         cases = json.load(open(
             "/root/reference/tests/scf/cases.json"))["cases"]
         for name in ("Example_bulk_bccFe_nsp2_block_hoh",
-                     "Example_bulk_Pt2MnGa_block"):
+                     "Example_bulk_Pt2MnGa_block",
+                     "Example_surface_fccCu001_block_hoh",
+                     "Example_impurity_B2FeCo_block_hoh"):
             case = next(c for c in cases if c["name"] == name)
             ref = json.load(open(os.path.join(
                 "/root/reference/tests/scf/references", name, "ref.json")))
