@@ -971,7 +971,29 @@ class MSEngine:
         return (jnp.pad(pair[0], widths), jnp.pad(pair[1], widths))
 
     # -- engines -------------------------------------------------------
+    def _chain_batch(self, r: int) -> int:
+        """Largest chain batch the engine state fits in HBM: per-chain
+        cost ~ ncells * ntot*D * 36 * (chunk bf16 + ~6 pair f32 arrays)
+        bytes.  Override budget: RSLMTO_MS_HBM_BYTES (default 6 GiB)."""
+        import os as _os
+
+        budget = int(_os.environ.get("RSLMTO_MS_HBM_BYTES", 6 << 30))
+        ncells = int(np.prod(self.st.dims))
+        per = ncells * self.st.ntot * self.d * self.d * (14 + 48)
+        return max(1, min(r, budget // max(per, 1)))
+
     def block_lanczos(self, psi0_grid, lld: int, start_bbox=None):
+        r = psi0_grid.shape[0]
+        rb = self._chain_batch(r)
+        if rb < r:
+            parts = [self.block_lanczos(psi0_grid[i:i + rb], lld,
+                                        start_bbox=start_bbox)
+                     for i in range(0, r, rb)]
+            return (np.concatenate([p[0] for p in parts], axis=1),
+                    np.concatenate([p[1] for p in parts], axis=1))
+        return self._block_lanczos_one(psi0_grid, lld, start_bbox)
+
+    def _block_lanczos_one(self, psi0_grid, lld: int, start_bbox=None):
         """Block recursion -> (a_b, b2_b) complex (lld, R, 18, 18).
 
         With ``start_bbox`` the recursion runs wavefront-staged on
@@ -1019,6 +1041,18 @@ class MSEngine:
 
     def chebyshev_moments(self, psi0_grid, lld: int, a: float, b: float,
                           start_bbox=None):
+        r = psi0_grid.shape[0]
+        rb = self._chain_batch(r)
+        if rb < r:
+            parts = [self.chebyshev_moments(psi0_grid[i:i + rb], lld,
+                                            a, b, start_bbox=start_bbox)
+                     for i in range(0, r, rb)]
+            return np.concatenate(parts, axis=1)
+        return self._chebyshev_moments_one(psi0_grid, lld, a, b,
+                                           start_bbox)
+
+    def _chebyshev_moments_one(self, psi0_grid, lld: int, a: float,
+                               b: float, start_bbox=None):
         """Chebyshev doubling moments -> mu complex (2*lld+2, R, 18, 18),
         optionally wavefront-staged."""
         from .block_lanczos import unrealify_blocks
