@@ -974,12 +974,15 @@ class MSEngine:
     def _chain_batch(self, r: int) -> int:
         """Largest chain batch the engine state fits in HBM: per-chain
         cost ~ ncells * ntot*D * 36 * (chunk bf16 + ~6 pair f32 arrays)
-        bytes.  Override budget: RSLMTO_MS_HBM_BYTES (default 6 GiB)."""
+        bytes, times the live-temp multiplier of each correction conv
+        and XLA's ~2x tile-padding on small spatial dims.  Override
+        budget: RSLMTO_MS_HBM_BYTES (default 6 GiB)."""
         import os as _os
 
         budget = int(_os.environ.get("RSLMTO_MS_HBM_BYTES", 6 << 30))
         ncells = int(np.prod(self.st.dims))
         per = ncells * self.st.ntot * self.d * self.d * (14 + 48)
+        per *= 2 * (1 + len(self.corr_main))  # layout padding + corr temps
         return max(1, min(r, budget // max(per, 1)))
 
     def block_lanczos(self, psi0_grid, lld: int, start_bbox=None):

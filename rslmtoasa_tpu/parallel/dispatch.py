@@ -26,6 +26,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from ..utils.logger import FatalError
+
 
 _mesh_cache = {"mesh": None, "checked": False}
 
@@ -226,8 +228,15 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
     if mesh is None:
         if eng is not None:
             p0 = np.asarray(psi0)
-            return eng.block_lanczos(eng.embed(p0), lld,
-                                     start_bbox=eng.start_bbox(p0))
+            try:
+                return eng.block_lanczos(eng.embed(p0), lld,
+                                         start_bbox=eng.start_bbox(p0))
+            except Exception as e:  # device OOM -> gather engine
+                from ..utils.logger import g_logger
+
+                g_logger.info(f"ms-conv engine failed at runtime "
+                              f"({type(e).__name__}); falling back to "
+                              "the gather engine")
         plan = _wavefront_plan(cols, np.asarray(psi0).shape[1] - 1,
                                psi0, lld, hoh, starts=starts)
         if plan is not None:
@@ -397,9 +406,18 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
     if mesh is None:
         if eng is not None:
             p0 = np.asarray(psi0)
-            return _guard(eng.chebyshev_moments(
-                eng.embed(p0), lld, a, b,
-                start_bbox=eng.start_bbox(p0)))
+            try:
+                return _guard(eng.chebyshev_moments(
+                    eng.embed(p0), lld, a, b,
+                    start_bbox=eng.start_bbox(p0)))
+            except FatalError:
+                raise
+            except Exception as e:  # device OOM -> gather engine
+                from ..utils.logger import g_logger
+
+                g_logger.info(f"ms-conv engine failed at runtime "
+                              f"({type(e).__name__}); falling back to "
+                              "the gather engine")
         plan = _wavefront_plan(cols, np.asarray(psi0).shape[1] - 1,
                                psi0, lld, hoh, starts=starts,
                                kind="chebyshev")
