@@ -168,6 +168,15 @@ def _ms_engine_for(cluster, hs, lsham, hoh, hso, enim, local=None):
     the blocks every iteration)."""
     if cluster is None or os.environ.get("RSLMTO_NO_MSCONV"):
         return None
+    if local is not None:
+        # impurity corrections carry extra full-grid temps; above this
+        # grid size the conv engine does not reliably fit 16G HBM
+        # alongside them (measured on B2FeCo) — use the gather engine
+        st0 = getattr(cluster, "_ms_stencil", None)
+        ncells = (int(np.prod(st0.dims)) if st0 is not None
+                  else int(np.asarray(cluster.cr).shape[0]))
+        if ncells > int(os.environ.get("RSLMTO_MS_IMP_CELLS", "6000")):
+            return None
     from ..ops.msconv import MSEngine, build_ms_stencil
 
     st = getattr(cluster, "_ms_stencil", None)
