@@ -1,28 +1,40 @@
-"""Multi-site df64 bucket-conv engines for block-Lanczos and Chebyshev.
+"""Multi-site df64 flat-state conv engines for block-Lanczos and Chebyshev.
 
 This is the TPU production path for the recursion engines every reference
 SCF case actually uses (``recur='block'|'chebyshev'``, all 18 cases in
 ``/root/reference/tests/scf/cases.json``): the masked block SpMV of
 ``recursion.f90`` ``hop_b`` :1560, ``hop_b_hoh`` :1411 and
-``chebyshev_recur_ll`` :2495 re-expressed as a 3-D bucket convolution.
+``chebyshev_recur_ll`` :2495 re-expressed as a 3-D bucket convolution
+over the crystal's cell grid, with basis sites folded into the conv
+channel axis.
 
-Extends the single-site scalar design of :mod:`.stencil_conv` in three
-ways:
+Design points (round-4 revision):
 
-* **multi-site cells** — the basis index folds into the conv channel
-  axis (as planned at ``stencil_conv.py:31-32``): channels are
-  ``(chunk, basis, row)`` and each output basis has its own tap set, so
-  B2/Heusler/fcc cells with inequivalent sites run on the same conv;
+* **flat persistent state** — every array that lives across a scan step
+  (the df64 pair wavefront, its chunk extraction) is shaped
+  ``(C, nd, ncells)`` with the flattened cell grid minor.  TPU arrays
+  are tiled (8, 128) on their two minor dims; a 5-D ``(.., nx, ny, nz)``
+  layout pads a 17^3 impurity grid ~10x (measured: the round-3 B2FeCo
+  HBM crash).  The flat layout pads <2%%.  Only the conv transients are
+  5-D, in channel-minor NDHWC (~1.4-1.9x padding), reshaped back to
+  flat immediately — XLA conv speed measured identical in NDHWC/NCDHW
+  (138-155 TF/s bf16 at the production sizes).
 * **18x18 spinor blocks, df64-pair state** — the engine state is the
   realified (36x36-real) block wavefront as a PAIR of f32 arrays; the
   SpMV runs in exact df64 bucket convolutions (MXU bf16), and the block
-  algebra that scales with the grid — Gram blocks
-  (:func:`gram_chunks`, segmented bucket matmuls) and column transforms
-  (:func:`colmul_chunks`) — is built from the same exact chunk products
-  with compensated accumulation.  Nothing large ever touches
-  XLA-emulated f64 (measured ~40x slower than f32 on the axon backend);
-  only the per-step 36x36 eigensolve stays emulated (grid-independent
-  cost);
+  algebra that scales with the grid — Gram blocks (:func:`gram_chunks`)
+  and column transforms (:func:`colmul_chunks`) — is built from the
+  same exact chunk products with compensated accumulation.  Nothing
+  large ever touches XLA-emulated f64 (measured ~40x slower than f32 on
+  the axon backend); only the per-step 36x36 eigensolve stays emulated.
+* **gather corrections, not correction convs** — per-layer surface
+  types (one Hamiltonian row type per slab layer) and the impurity
+  ``hall`` local rows (``hamiltonian.f90 build_locham`` :1618) are
+  row corrections ``(H_special - H_bulk) @ x[neighbors]`` on a small
+  atom subset; they run as per-atom gathers + tiny emulated-f64
+  einsums with cost proportional to the special-atom count, instead of
+  the round-3 full-grid masked delta convs (which cost a full extra
+  conv per (family x layer-type) — the surface case's 278 s).
 * **grouped exact accumulation** — one fused bucket conv is only exact
   while (taps x in-channels) x 2^12 fits in the f32 integer window
   (2^24).  Multi-site channel counts exceed it, so the input channels
@@ -47,7 +59,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import df64
-from .df64 import fast_two_sum, two_sum
+from .df64 import ds_add, fast_two_sum, two_sum
 from .stencil_conv import _extract_chunks_chan
 
 
@@ -74,8 +86,8 @@ def build_ms_stencil(cl) -> MSStencil:
     """Multi-site cell-grid embedding of a crystal cluster.
 
     Raises ValueError for clusters without a constant-offset stencil
-    (impurity ``hall`` zones, wrapped PBC, surface layers with per-layer
-    types) — callers fall back to the gather engine.
+    (wrapped PBC, atoms off the lattice grid) — callers fall back to
+    the gather engine.
     """
     if cl.nn is None or cl.dirs is None:
         raise ValueError("cluster has no neighbor map")
@@ -107,7 +119,7 @@ def build_ms_stencil(cl) -> MSStencil:
     nbas[:, 0] = np.arange(nb)
     # per-basis types: type-pure bases (bulk crystals) use the plain
     # kernel; bases carrying multiple types (surface slabs: one type
-    # per layer) get masked delta-kernel corrections (see MSEngine) —
+    # per layer; impurity re-typed zones) get gather-corrected rows —
     # the geometry must still be a constant-offset sublattice, but the
     # type distribution over it is arbitrary
     basis_type = np.full(nb, -1, np.int64)
@@ -163,14 +175,26 @@ def build_ms_stencil(cl) -> MSStencil:
 # kernel packing
 
 
+def _chunk_host(y, nchunks):
+    chunks = []
+    res = y.copy()
+    for k in range(nchunks):
+        u = 2.0 ** (-df64.CHUNK_BITS * (k + 1))
+        c = np.round(res / u) * u
+        chunks.append(c)
+        res = res - c
+    return np.stack(chunks, 0)
+
+
 def pack_ms_kernel_df64(hs: np.ndarray, st: MSStencil,
                         nchunks: int = df64.DF64_CHUNKS):
     """Bucket-conv kernel from realified per-type slot blocks.
 
     hs: (ntype, nslots, D, D) f64 REAL (realified) slot blocks, slot 0 =
-    onsite.  Returns (W bf16 (7*ntot*D, 7*ntot*D, KD, KH, KW), scale,
-    radius, groups) where ``groups`` are input-channel split points that
-    keep every partial conv's accumulation exact (see module docstring).
+    onsite.  Returns (W bf16 DHWIO (KD, KH, KW, 7*ntot*D, 7*ntot*D),
+    scale, radius, groups) where ``groups`` are input-channel split
+    points that keep every partial conv's accumulation exact (see
+    module docstring).
     """
     hs = np.asarray(hs, np.float64)
     ntype, nslots, d = hs.shape[0], hs.shape[1], hs.shape[2]
@@ -180,15 +204,7 @@ def pack_ms_kernel_df64(hs: np.ndarray, st: MSStencil,
 
     amax = float(np.max(np.abs(hs))) if hs.size else 1.0
     scale = df64._pow2ceil(amax) * 2.0
-    y = hs / scale
-    chunks = []
-    res = y.copy()
-    for k in range(nchunks):
-        u = 2.0 ** (-df64.CHUNK_BITS * (k + 1))
-        c = np.round(res / u) * u
-        chunks.append(c)
-        res = res - c
-    ch = np.stack(chunks, 0)  # (nchunks, ntype, nslots, D, D)
+    ch = _chunk_host(hs / scale, nchunks)  # (nchunks, ntype, nslots, D, D)
 
     nd = nb * d
     w = np.zeros((nchunks * nd, nchunks * nd, kd, kh, kw), np.float32)
@@ -226,31 +242,25 @@ def pack_ms_kernel_df64(hs: np.ndarray, st: MSStencil,
         else:
             acc += t
     groups.append((start * d, nblk * d))
-    return (jnp.asarray(w, jnp.bfloat16), scale,
+    # DHWIO for the channel-minor NDHWC conv
+    return (jnp.asarray(w.transpose(2, 3, 4, 1, 0), jnp.bfloat16), scale,
             tuple(int(x) for x in r), tuple(groups))
 
 
 def pack_ms_onsite_df64(mat: np.ndarray, st: MSStencil,
                         nchunks: int = df64.DF64_CHUNKS):
-    """1x1x1 bucket kernel for a per-type onsite block operator
+    """(I, O) bucket matmul kernel for a per-type onsite block operator
     (the HoH enim + lsham correction applied per basis).  mat:
-    (ntype, D, D) realified f64.  Returns (W bf16, scale)."""
+    (ntype, D, D) realified f64.  Returns (W bf16 (7*ntot*D, 7*ntot*D),
+    scale)."""
     mat = np.asarray(mat, np.float64)
     d = mat.shape[-1]
     nb = st.ntot
     amax = float(np.max(np.abs(mat))) if mat.size else 1.0
     scale = df64._pow2ceil(max(amax, 1e-300)) * 2.0
-    y = mat / scale
-    chunks = []
-    res = y.copy()
-    for k in range(nchunks):
-        u = 2.0 ** (-df64.CHUNK_BITS * (k + 1))
-        c = np.round(res / u) * u
-        chunks.append(c)
-        res = res - c
-    ch = np.stack(chunks, 0)
+    ch = _chunk_host(mat / scale, nchunks)
     nd = nb * d
-    w = np.zeros((nchunks * nd, nchunks * nd, 1, 1, 1), np.float32)
+    w = np.zeros((nchunks * nd, nchunks * nd), np.float32)
     for b_out in range(nb):
         t = int(st.basis_type[b_out])
         for s in range(nchunks):
@@ -259,28 +269,13 @@ def pack_ms_onsite_df64(mat: np.ndarray, st: MSStencil,
                 if p < 0 or p >= nchunks:
                     continue
                 w[s * nd + b_out * d:s * nd + (b_out + 1) * d,
-                  q * nd + b_out * d:q * nd + (b_out + 1) * d,
-                  0, 0, 0] += ch[p, t]
-    return jnp.asarray(w, jnp.bfloat16), scale
+                  q * nd + b_out * d:q * nd + (b_out + 1) * d] += ch[p, t]
+    return jnp.asarray(w.T, jnp.bfloat16), scale
 
 
 def mask_channels(st: MSStencil, d: int) -> np.ndarray:
-    """Per-channel occupancy mask (ntot*D, nx, ny, nz)."""
-    return np.repeat(st.mask, d, axis=0)
-
-
-def ms_spmv_df64(w, scale, mask_chan, psi_ds, radius, groups,
-                 nchunks: int = df64.DF64_CHUNKS):
-    """One multi-site df64 SpMV: y = H psi via bucket convs.
-
-    psi_ds: (hi, lo) of (C, ntot*D, nx, ny, nz) f32; w as packed above;
-    mask_chan (ntot*D, nx, ny, nz).  Returns a df64 pair.  Thin wrapper
-    over chunk extraction + :func:`conv_chunks`.
-    """
-    x = _extract_chunks_chan(psi_ds, nchunks)
-    # the extraction carries a 1/2 pre-scale -> factor 2
-    return conv_chunks(w, x, jnp.float32(2.0), scale, mask_chan, radius,
-                       groups, nchunks)
+    """Per-channel occupancy mask, flat (ntot*D, ncells)."""
+    return np.repeat(st.mask, d, axis=0).reshape(st.ntot * d, -1)
 
 
 # ----------------------------------------------------------------------
@@ -304,7 +299,7 @@ def _pow2_bound(hi):
 def extract_scaled(x_ds, nchunks: int = df64.DF64_CHUNKS):
     """Chunk-extract a df64 pair under a dynamic power-of-two pre-scale.
 
-    Returns (chunks, factor): chunks bf16 (C, nchunks*nd, *grid) with
+    Returns (chunks, factor): chunks bf16 (C, nchunks*nd, ncells) with
     x = factor * sum_k chunks_k to ~2^-49 relative; factor a power of
     two, so every scale propagation below is exact.  The dynamic scale
     keeps the leading chunk inside 6 bits for ANY operand magnitude
@@ -317,12 +312,15 @@ def extract_scaled(x_ds, nchunks: int = df64.DF64_CHUNKS):
     return _extract_chunks_chan(xs, nchunks), 2.0 * s
 
 
-def conv_chunks(w, xq, fx, scale_w, mask_chan, radius, groups,
+def conv_chunks(w, xq, fx, scale_w, mask_chan, radius, groups, dims,
                 nchunks: int = df64.DF64_CHUNKS):
     """Bucket-conv SpMV from pre-extracted chunks -> df64 pair.
 
-    xq: bf16 (C, nchunks*nd, *grid) chunks with factor fx; w/scale_w as
-    packed.  Two execution modes, chosen by a flop model:
+    xq: bf16 (C, K, ncells) chunks with factor fx; w bf16 DHWIO (or
+    (I, O) for the onsite 1-tap kernel); mask_chan (nd, ncells) f32;
+    dims the static (nx, ny, nz) of the flattened cell axis.
+
+    Two execution modes, chosen by a flop/bytes model:
 
     * small problems: ONE fused conv over all output buckets (exactness
       via the packed channel ``groups``) — kernel-launch overhead
@@ -330,32 +328,48 @@ def conv_chunks(w, xq, fx, scale_w, mask_chan, radius, groups,
       backend);
     * large problems: per-bucket truncated convs — output bucket s only
       convolves input chunks q <= s (sum_s (s+1) = 28 channel-block
-      products instead of 49), and buckets s >= 4 skip the exactness
-      grouping (their 2^-28 weight puts plain-f32 accumulation error
-      below the df64 target).
+      products instead of 49), the NDHWC transients stay nd wide
+      instead of 7*nd, and buckets s >= 4 skip the exactness grouping
+      (their 2^-28 weight puts plain-f32 accumulation error below the
+      df64 target).
     """
-    pad = [(int(r), int(r)) for r in radius]
-    nd = w.shape[0] // nchunks
-    cells = int(np.prod(xq.shape[2:]))
-    window = int(np.prod([2 * int(r) + 1 for r in radius]))
-    fused_flops = 2.0 * xq.shape[0] * cells * window * (nchunks * nd) ** 2
-    if fused_flops < 5e12:
-        # fused: one conv per exactness group over ALL buckets
-        acc_hi = None
-        acc_lo = None
-        for (c0, c1) in groups:
-            o = lax.conv_general_dilated(
-                xq[:, c0:c1], w[:, c0:c1], window_strides=(1, 1, 1),
-                padding=pad, dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-                preferred_element_type=jnp.float32,
-            )
+    c = xq.shape[0]
+    ncells = xq.shape[-1]
+    onsite = w.ndim == 2
+    kout = w.shape[-1]
+    nd = kout // nchunks
+
+    def run(cin0, cin1, out0, out1):
+        xs = xq[:, cin0:cin1]
+        if onsite:
+            return jnp.einsum("cin,io->cno", xs, w[cin0:cin1, out0:out1],
+                              preferred_element_type=jnp.float32)
+        xg = jnp.moveaxis(xs, 1, -1).reshape((c,) + dims + (cin1 - cin0,))
+        pad = [(int(r), int(r)) for r in radius]
+        o = lax.conv_general_dilated(
+            xg, w[..., cin0:cin1, out0:out1], window_strides=(1, 1, 1),
+            padding=pad, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+        return o.reshape(c, ncells, out1 - out0)
+
+    def accumulate(gs, out0, out1):
+        acc_hi = acc_lo = None
+        for (c0, c1) in gs:
+            o = run(c0, c1, out0, out1)
             if acc_hi is None:
                 acc_hi, acc_lo = o, jnp.zeros_like(o)
             else:
                 acc_hi, e = two_sum(acc_hi, o)
                 acc_lo = acc_lo + e
-        outs = [(acc_hi[:, t * nd:(t + 1) * nd],
-                 acc_lo[:, t * nd:(t + 1) * nd]) for t in range(nchunks)]
+        return acc_hi, acc_lo
+
+    window = 1 if onsite else int(np.prod([2 * int(r) + 1 for r in radius]))
+    fused_flops = 2.0 * c * ncells * window * xq.shape[1] * kout
+    fused_bytes = 12.0 * c * ncells * kout  # 3 live f32 NDHWC transients
+    if onsite or (fused_flops < 5e12 and fused_bytes < 2e9):
+        acc_hi, acc_lo = accumulate(groups, 0, kout)
+        outs = [(acc_hi[..., t * nd:(t + 1) * nd],
+                 acc_lo[..., t * nd:(t + 1) * nd]) for t in range(nchunks)]
     else:
         outs = []
         for t in range(nchunks):
@@ -368,26 +382,12 @@ def conv_chunks(w, xq, fx, scale_w, mask_chan, radius, groups,
                     if c0 >= cmax:
                         break
                     gs.append((c0, min(c1, cmax)))
-            acc_hi = None
-            acc_lo = None
-            ws = w[t * nd:(t + 1) * nd]
-            for (c0, c1) in gs:
-                o = lax.conv_general_dilated(
-                    xq[:, c0:c1], ws[:, c0:c1], window_strides=(1, 1, 1),
-                    padding=pad,
-                    dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-                    preferred_element_type=jnp.float32,
-                )
-                if acc_hi is None:
-                    acc_hi, acc_lo = o, jnp.zeros_like(o)
-                else:
-                    acc_hi, e = two_sum(acc_hi, o)
-                    acc_lo = acc_lo + e
-            outs.append((acc_hi, acc_lo))
-    hi, lo = _combine_buckets(outs)
+            outs.append(accumulate(gs, t * nd, (t + 1) * nd))
+    hi, lo = _combine_buckets(outs)  # (C, ncells, nd)
     sc = jnp.asarray(scale_w, jnp.float32) * fx
-    m = mask_chan[None]
-    return (hi * sc * m, lo * sc * m)
+    m = jnp.swapaxes(mask_chan, 0, 1)[None]
+    return (jnp.moveaxis(hi * sc * m, -1, 1),
+            jnp.moveaxis(lo * sc * m, -1, 1))
 
 
 def _fold_first(hi, lo):
@@ -510,39 +510,98 @@ def _ds_pair(x64):
     return hi, lo
 
 
-def _eig_sqrt_f32seed(b2):
-    """B = sqrt(b2), B^-1 for real SPD (r, d, d) f64 blocks with an f32
-    eigh seed.  The emulated-f64 eigh costs ~57 ms/step on the axon
-    backend; the f32 eigh is a fast native kernel and two Newton/
-    Babylonian cycles (matmuls only — cheap at this size even emulated)
-    square the 2^-24 seed error to f64 roundoff
-    (same refinement as block_lanczos._eig_sqrt)."""
-    ev32, u32 = jnp.linalg.eigh(b2.astype(jnp.float32))
-    ev = ev32.astype(jnp.float64)
-    u = u32.astype(jnp.float64)
-    ev = jnp.maximum(ev, 1e-300 + 1e-12 * ev[..., -1:])
-    lam = jnp.sqrt(ev)
-    b = jnp.einsum("...ab,...b,...cb->...ac", u, lam, u)
-    b_i = jnp.einsum("...ab,...b,...cb->...ac", u, 1.0 / lam, u)
-    eye = jnp.eye(b2.shape[-1], dtype=b2.dtype)
-    mm = lambda x, y: jnp.einsum("...ab,...bc->...ac", x, y)
-    herm = lambda x: 0.5 * (x + jnp.swapaxes(x, -1, -2))
-    for _ in range(2):
-        b_i = mm(b_i, 2.0 * eye - mm(b, b_i))
-        b = herm(0.5 * (b + mm(b2, b_i)))
-    b_i = herm(mm(b_i, 2.0 * eye - mm(b, b_i)))
-    return b, b_i
-
-
 def _pair_f64(p):
     return p[0].astype(jnp.float64) + p[1].astype(jnp.float64)
 
 
-from .df64 import ds_add
-
-
 def _ds_neg(p):
     return (-p[0], -p[1])
+
+
+# ----------------------------------------------------------------------
+# gather corrections (impurity hall rows; surface per-layer types)
+
+
+def _scatter_corr(y, corr, out_idx):
+    """Compensated scatter-add of an emulated-f64 correction (C, na, D)
+    into the flat df64 pair y at flattened (row, cell) indices."""
+    c = y[0].shape[0]
+    ch = corr.astype(jnp.float32)
+    cl_ = (corr - ch.astype(jnp.float64)).astype(jnp.float32)
+    yh = y[0].reshape(c, -1)
+    yl = y[1].reshape(c, -1)
+    old = yh[:, out_idx]
+    snew, e = two_sum(old, ch.reshape(c, -1))
+    yh = yh.at[:, out_idx].set(snew)
+    yl = yl.at[:, out_idx].add(e + cl_.reshape(c, -1))
+    return (yh.reshape(y[0].shape), yl.reshape(y[1].shape))
+
+
+def _gather_x(x_pair, chan_idx, cell_idx, vmask):
+    """Gather neighbor blocks from the flat pair -> emulated f64
+    (C, na, nslots, D), with invalid (out-of-stage) slots zeroed."""
+    xg = (x_pair[0][:, chan_idx, cell_idx[..., None]]
+          .astype(jnp.float64)
+          + x_pair[1][:, chan_idx, cell_idx[..., None]]
+          .astype(jnp.float64))
+    return xg * vmask[None, :, :, None]
+
+
+def _local_corr(y, x_pair, delta64, chan_idx, cell_idx, out_idx, vmask):
+    """Per-atom impurity correction (the ``hall`` local rows,
+    hamiltonian.f90 build_locham :1618): y[local atom i] += sum_m
+    (hall[i,m] - ee[type_i,m]) x[neighbor].  nmax is small, so the
+    gather + einsum runs in emulated f64 on tiny arrays and the result
+    scatter-adds into the pair with a compensated update."""
+    xg = _gather_x(x_pair, chan_idx, cell_idx, vmask)
+    corr = jnp.einsum("rimq,impq->rip", xg, delta64)
+    return _scatter_corr(y, corr, out_idx)
+
+
+def _group_corr(y, x_pair, delta_g64, sel, chan_idx, cell_idx, out_idx,
+                vmask):
+    """Typed-layer correction (surface slabs, impurity re-typed zones):
+    atoms whose type t differs from their basis's dominant type get
+    (H_t - H_dominant) row corrections — Hamiltonian row blocks depend
+    only on the ROW atom's type (build_bulkham/ham0m_nc,
+    hamiltonian.f90:2225,1553), so one delta table per (basis, type)
+    group serves every atom of that group."""
+    xg = _gather_x(x_pair, chan_idx, cell_idx, vmask)
+    t = jnp.einsum("rimq,gmpq->rigp", xg, delta_g64)
+    corr = jnp.einsum("rigp,ig->rip", t, sel)
+    return _scatter_corr(y, corr, out_idx)
+
+
+def _apply_h_chunks(w, w_o, w_ons, local, gcorr, mask_chan, scale,
+                    scale_o, scale_ons, radius, groups, dims, hoh, xq, fx,
+                    x_pair=None):
+    def corrected(y, src_pair, key_l, key_g):
+        if gcorr is not None:
+            g = gcorr
+            y = _group_corr(y, src_pair, g[key_g], g["sel"], g["chan"],
+                            g["cell"], g["out"], g["vmask"])
+        if local is not None and key_l in local:
+            y = _local_corr(y, src_pair, local[key_l], local["chan"],
+                            local["cell"], local["out"], local["vmask"])
+        return y
+
+    h1 = conv_chunks(w, xq, fx, scale, mask_chan, radius, groups, dims)
+    h1 = corrected(h1, x_pair, "delta", "delta")
+    if not hoh:
+        return h1
+    # H = h - eeo.(h psi) + (enim + ls) psi (hop_b_hoh :1411)
+    hq, fh = extract_scaled(h1)
+    h2 = conv_chunks(w_o, hq, fh, scale_o, mask_chan, radius, groups,
+                     dims)
+    h2 = corrected(h2, h1, "delta_o", "delta_o")
+    ons = conv_chunks(w_ons, xq, fx, scale_ons, mask_chan, (0, 0, 0),
+                      ((0, int(w_ons.shape[0])),), dims)
+    if gcorr is not None:
+        g = gcorr
+        ons = _group_corr(ons, x_pair, g["delta_ons"], g["sel"],
+                          g["chan"][:, :1], g["cell"][:, :1], g["out"],
+                          g["vmask"][:, :1])
+    return ds_add(ds_add(h1, _ds_neg(h2)), ons)
 
 
 # ----------------------------------------------------------------------
@@ -556,86 +615,22 @@ def _ds_neg(p):
 # on a small box and the full grid is only touched by the last stage.
 
 
-def _local_corr(y, x_pair, delta64, chan_idx, cell_idx, out_idx):
-    """Per-atom impurity correction (the ``hall`` local rows,
-    hamiltonian.f90 build_locham): y[local atom] += sum_m
-    (hall[i,m] - ee[type_i,m]) x[neighbor].  nmax is small, so the
-    gather + einsum runs in emulated f64 on tiny arrays and the result
-    scatter-adds into the pair with a compensated update."""
-    r36 = x_pair[0].shape[0]
-    nd = x_pair[0].shape[1]
-    xf = (x_pair[0].reshape(r36, nd, -1), x_pair[1].reshape(r36, nd, -1))
-    xg = (xf[0][:, chan_idx, cell_idx[..., None]]
-          .astype(jnp.float64)
-          + xf[1][:, chan_idx, cell_idx[..., None]].astype(jnp.float64))
-    # xg: (r36, nmax, nslots, D)
-    corr = jnp.einsum("rimq,impq->rip", xg, delta64)
-    ch = corr.astype(jnp.float32)
-    cl_ = (corr - ch.astype(jnp.float64)).astype(jnp.float32)
-    yh = y[0].reshape(r36, -1)
-    yl = y[1].reshape(r36, -1)
-    old = yh[:, out_idx]
-    snew, e = two_sum(old, ch.reshape(r36, -1))
-    yh = yh.at[:, out_idx].set(snew)
-    yl = yl.at[:, out_idx].add(e + cl_.reshape(r36, -1))
-    return (yh.reshape(y[0].shape), yl.reshape(y[1].shape))
-
-
-def _conv_corr(w, scale, corr_list, xq, fx, mask_chan, radius, groups):
-    """One kernel family: main conv + masked delta convs for surface
-    layers whose type differs from the basis's dominant (bulk) type —
-    the zmask restricts each correction to its own z-planes, so the
-    composite equals the per-layer-type operator exactly."""
-    y = conv_chunks(w, xq, fx, scale, mask_chan, radius, groups)
-    for (wc, sc, zm) in corr_list:
-        y = ds_add(y, conv_chunks(wc, xq, fx, sc, zm, radius, groups))
-    return y
-
-
-def _apply_h_chunks(w, w_o, w_ons, corr, mask_chan, scale, scale_o,
-                    scale_ons, radius, groups, hoh, xq, fx, x_pair=None,
-                    local=None):
-    no_rad = (0, 0, 0)
-    all_grp = ((0, w_ons.shape[1]),)
-    cm, co, cons = corr
-    if hoh:
-        # H = h - eeo.(h psi) + (enim + ls) psi (hop_b_hoh :1411)
-        h1 = _conv_corr(w, scale, cm, xq, fx, mask_chan, radius, groups)
-        if local is not None:
-            h1 = _local_corr(h1, x_pair, local["delta"], local["chan"],
-                             local["cell"], local["out"])
-        hq, fh = extract_scaled(h1)
-        h2 = _conv_corr(w_o, scale_o, co, hq, fh, mask_chan, radius,
-                        groups)
-        if local is not None:
-            h2 = _local_corr(h2, h1, local["delta_o"], local["chan"],
-                             local["cell"], local["out"])
-        ons = _conv_corr(w_ons, scale_ons, cons, xq, fx, mask_chan,
-                         no_rad, all_grp)
-        return ds_add(ds_add(h1, _ds_neg(h2)), ons)
-    y = _conv_corr(w, scale, cm, xq, fx, mask_chan, radius, groups)
-    if local is not None:
-        y = _local_corr(y, x_pair, local["delta"], local["chan"],
-                        local["cell"], local["out"])
-    return y
-
-
 @partial(jax.jit, static_argnames=("nsteps", "hoh", "radius", "groups",
-                                  "nb", "d", "unroll"))
-def _block_stage_ms_jit(w, w_o, w_ons, corr, local, mask_chan, psi, pmn,
+                                   "dims", "d", "unroll"))
+def _block_stage_ms_jit(w, w_o, w_ons, local, gcorr, mask_chan, psi, pmn,
                         sum_b, scale, scale_o, scale_ons, nsteps: int,
-                        hoh: bool, radius, groups, nb: int, d: int,
+                        hoh: bool, radius, groups, dims, d: int,
                         unroll: int = 1):
     """nsteps of the block recursion from a full carry.  psi/pmn are
-    df64 pairs (r*d, nd, *grid); sum_b is f64 (r, d, d).  Returns the
-    advanced carry plus the emitted (a_ll, b2) blocks."""
+    flat df64 pairs (r*d, nd, ncells); sum_b is f64 (r, d, d).  Returns
+    the advanced carry plus the emitted (a_ll, b2) blocks."""
     from .block_lanczos import _eig_sqrt
 
     r = sum_b.shape[0]
     nd = psi[0].shape[1]
-    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, corr, mask_chan,
-                      scale, scale_o, scale_ons, radius, groups, hoh,
-                      local=local)
+    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, local, gcorr,
+                      mask_chan, scale, scale_o, scale_ons, radius,
+                      groups, dims, hoh)
 
     def step(carry, _):
         psi, pmn, sum_b_prev = carry
@@ -649,11 +644,11 @@ def _block_stage_ms_jit(w, w_o, w_ons, corr, local, mask_chan, psi, pmn,
         pq, fp = extract_scaled(pmn)
         b2 = gram_chunks(pq, fp, pq, fp, r, d, nd)
         b2_64 = _pair_f64(b2)
-        # NOTE: an f32-seeded eigh + Newton refinement
-        # (_eig_sqrt_f32seed) is ~50 ms/step cheaper but loses the
-        # small eigenvalues of ill-conditioned late-recursion B^2
-        # blocks beyond what the refinement can recover — measured
-        # parity failures at lld >= 6.  Emulated-f64 eigh it is.
+        # NOTE: an f32-seeded eigh + Newton refinement is ~50 ms/step
+        # cheaper but loses the small eigenvalues of ill-conditioned
+        # late-recursion B^2 blocks beyond what the refinement can
+        # recover — measured parity failures at lld >= 6.  Emulated-f64
+        # eigh it is (grid-independent cost).
         b, b_i = _eig_sqrt(b2_64)  # small (r, d, d) emulated f64
         biq, fbi = extract_small(_ds_pair(b_i))
         bq, fb = extract_small(_ds_pair(b))
@@ -667,19 +662,20 @@ def _block_stage_ms_jit(w, w_o, w_ons, corr, local, mask_chan, psi, pmn,
     return psi, pmn, sum_b, a_b, b2_b
 
 
-@partial(jax.jit, static_argnames=("hoh", "radius", "groups", "nb", "d"))
-def _cheb_init_ms_jit(w, w_o, w_ons, corr, local, mask_chan, psi0, scale,
-                      scale_o, scale_ons, ainv_p, b_p, hoh: bool, radius,
-                      groups, nb: int, d: int):
+@partial(jax.jit, static_argnames=("hoh", "radius", "groups", "dims",
+                                   "d"))
+def _cheb_init_ms_jit(w, w_o, w_ons, local, gcorr, mask_chan, psi0,
+                      scale, scale_o, scale_ons, ainv_p, b_p, hoh: bool,
+                      radius, groups, dims, d: int):
     """First Chebyshev application + mu0/mu1 (T_0, T_1 seeds)."""
     r = psi0.shape[0]
     psi0 = psi0.reshape((r * d,) + psi0.shape[2:])
     nd = psi0.shape[1]
     from .df64 import ds_mul
 
-    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, corr, mask_chan,
-                      scale, scale_o, scale_ons, radius, groups, hoh,
-                      local=local)
+    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, local, gcorr,
+                      mask_chan, scale, scale_o, scale_ons, radius,
+                      groups, dims, hoh)
     psi0p = (psi0, jnp.zeros_like(psi0))
     x0q, f0 = extract_scaled(psi0p)
     mu0 = _pair_f64(gram_chunks(x0q, f0, x0q, f0, r, d, nd))
@@ -692,19 +688,19 @@ def _cheb_init_ms_jit(w, w_o, w_ons, corr, local, mask_chan, psi0, scale,
 
 
 @partial(jax.jit, static_argnames=("nsteps", "hoh", "radius", "groups",
-                                  "nb", "d", "unroll"))
-def _cheb_stage_ms_jit(w, w_o, w_ons, corr, local, mask_chan, p0, p1,
+                                   "dims", "d", "unroll"))
+def _cheb_stage_ms_jit(w, w_o, w_ons, local, gcorr, mask_chan, p0, p1,
                        mu0, mu1, scale, scale_o, scale_ons, ainv_p, b_p,
-                       nsteps: int, hoh: bool, radius, groups,
-                       nb: int, d: int, unroll: int = 1):
+                       nsteps: int, hoh: bool, radius, groups, dims,
+                       d: int, unroll: int = 1):
     """nsteps of the Chebyshev doubling recursion from (T_{k-1}, T_k)."""
     r = mu0.shape[0]
     nd = p0[0].shape[1]
     from .df64 import ds_mul
 
-    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, corr, mask_chan,
-                      scale, scale_o, scale_ons, radius, groups, hoh,
-                      local=local)
+    apply_h = partial(_apply_h_chunks, w, w_o, w_ons, local, gcorr,
+                      mask_chan, scale, scale_o, scale_ons, radius,
+                      groups, dims, hoh)
 
     def apply_ht(xq, fx, psi):
         hpsi = apply_h(xq, fx, x_pair=psi)
@@ -730,18 +726,23 @@ def _cheb_stage_ms_jit(w, w_o, w_ons, corr, local, mask_chan, p0, p1,
 # host-side wrappers
 
 
+def _ravel_cells(cells: np.ndarray, dims) -> np.ndarray:
+    return ((cells[..., 0] * dims[1] + cells[..., 1]) * dims[2]
+            + cells[..., 2])
+
+
 def grid_embed(st: MSStencil, psi0: np.ndarray, d: int) -> np.ndarray:
-    """Embed (R, kk[+1], D, D) start blocks into the conv grid layout
-    (R, D, ntot*D, nx, ny, nz); column axis leads (conv batch)."""
+    """Embed (R, kk[+1], D, D) start blocks into the flat conv layout
+    (R, D, ntot*D, ncells); column axis leads (conv batch)."""
     psi0 = np.asarray(psi0)
     r = psi0.shape[0]
-    nx, ny, nz = st.dims
-    out = np.zeros((r, d, st.ntot * d, nx, ny, nz), psi0.dtype)
+    ncells = int(np.prod(st.dims))
+    out = np.zeros((r, d, st.ntot * d, ncells), psi0.dtype)
     rows = (st.basis[:, None] * d + np.arange(d)[None, :])  # (kk, D)
+    cell_lin = _ravel_cells(st.cells, st.dims)
     # out[r, c, row, cell] = psi0[r, i, q, c]
-    out[:, :, rows,
-        st.cells[:, 0][:, None], st.cells[:, 1][:, None],
-        st.cells[:, 2][:, None]] = psi0[:, :st.kk].transpose(0, 3, 1, 2)
+    out[:, :, rows, cell_lin[:, None]] = \
+        psi0[:, :st.kk].transpose(0, 3, 1, 2)
     return out
 
 
@@ -749,157 +750,331 @@ class MSEngine:
     """Packed multi-site engine for one (cluster, Hamiltonian) pair.
 
     Build once per SCF iteration (the kernel depends on the Hamiltonian);
-    the stencil geometry is cached on the cluster by the caller.
+    the stencil geometry — including the per-stage index tables — is
+    cached on the stencil by the caller, so the per-iteration host cost
+    is only the kernel chunking itself (timed under ``ms-pack``).
     """
 
     def __init__(self, st: MSStencil, hs, lsham, *, hoh=False, hso=None,
                  enim=None, local=None):
         from .block_lanczos import realify_blocks
+        from ..utils.timer import g_timer
 
         self.st = st
         self.d = 2 * hs.shape[-1]  # realified block dim
-        hs_r = realify_blocks(np.asarray(hs))
-        ls_r = realify_blocks(np.asarray(lsham))
+        self.dims = tuple(int(x) for x in st.dims)
+        self.ncells = int(np.prod(st.dims))
         self.hoh = bool(hoh)
-        self.local = None
-        if local is not None and int(local.get("nmax", 0)) > 0:
-            self.local = self._build_local(local, hs_r, hso, st)
-        if self.hoh:
-            en_r = realify_blocks(np.asarray(enim))
-            self.w, self.scale, self.radius, self.groups = \
-                pack_ms_kernel_df64(hs_r, st)
-            self.w_o, self.scale_o, rad_o, grp_o = pack_ms_kernel_df64(
-                realify_blocks(np.asarray(hso)), st)
-            if rad_o != self.radius:
-                raise ValueError("hoh kernel radius mismatch")
-            # refine both partitions so each partial conv is exact for
-            # BOTH kernels
-            bounds = sorted({p for g in self.groups for p in g}
-                            | {p for g in grp_o for p in g})
-            self.groups = tuple(zip(bounds[:-1], bounds[1:]))
-            self.w_ons, self.scale_ons = pack_ms_onsite_df64(
-                en_r + ls_r, st)
-        else:
-            hs_fold = hs_r.copy()
-            hs_fold[:, 0] += ls_r  # lsham folds into the onsite slot
-            self.w, self.scale, self.radius, self.groups = \
-                pack_ms_kernel_df64(hs_fold, st)
-            self.w_o = self.w  # placeholder (same shape, unused)
-            self.scale_o = self.scale
-            nchunks = df64.DF64_CHUNKS
-            nd = nchunks * st.ntot * self.d
-            self.w_ons = jnp.zeros((nd, nd, 1, 1, 1), jnp.bfloat16)
-            self.scale_ons = 1.0
-        self.mask_chan = jnp.asarray(mask_channels(st, self.d))
-        # surface slabs: masked delta-kernel corrections for layers whose
-        # type differs from the basis's dominant type (one per special
-        # (basis, type); applied as extra convs restricted by zmask)
-        self.corr_main = ()
-        self.corr_o = ()
-        self.corr_ons = ()
-        if st.atom_type is not None:
-            import dataclasses
-
-            def zmask_chan(b, t):
-                m = np.zeros_like(st.mask)
-                sel = (st.basis == b) & (st.atom_type == t)
-                cc = st.cells[sel]
-                m[b, cc[:, 0], cc[:, 1], cc[:, 2]] = 1.0
-                return jnp.asarray(np.repeat(m, self.d, axis=0))
-
-            def deltas(table_fn):
-                out = []
-                for b in range(st.ntot):
-                    tmain = int(st.basis_type[b])
-                    tset = sorted(set(
-                        int(x) for x in st.atom_type[st.basis == b]
-                        if x != tmain))
-                    for t in tset:
-                        hsd = np.zeros((st.ntot,) + table_fn(0).shape)
-                        hsd[b] = table_fn(t) - table_fn(tmain)
-                        if np.abs(hsd).max() < 1e-300:
-                            continue
-                        out.append((b, t, hsd))
-                return out
-
-            st_id = dataclasses.replace(
-                st, basis_type=np.arange(st.ntot, dtype=np.int64))
-            all_groups = set(self.groups)
+        with g_timer.section("ms-pack"):
+            hs_r = realify_blocks(np.asarray(hs))
+            ls_r = realify_blocks(np.asarray(lsham))
             if self.hoh:
-                fam = [("corr_main", lambda t: hs_r[t]),
-                       ("corr_o",
-                        lambda t: realify_blocks(np.asarray(hso))[t]),
-                       ("corr_ons", lambda t: (en_r + ls_r)[t])]
+                en_r = realify_blocks(np.asarray(enim))
+                hso_r = realify_blocks(np.asarray(hso))
+                self.w, self.scale, self.radius, self.groups = \
+                    pack_ms_kernel_df64(hs_r, st)
+                self.w_o, self.scale_o, rad_o, grp_o = \
+                    pack_ms_kernel_df64(hso_r, st)
+                if rad_o != self.radius:
+                    raise ValueError("hoh kernel radius mismatch")
+                # refine both partitions so each partial conv is exact
+                # for BOTH kernels
+                bounds = sorted({p for g in self.groups for p in g}
+                                | {p for g in grp_o for p in g})
+                self.groups = tuple(zip(bounds[:-1], bounds[1:]))
+                self.w_ons, self.scale_ons = pack_ms_onsite_df64(
+                    en_r + ls_r, st)
+                fam = (hs_r, hso_r, en_r + ls_r)
             else:
-                fam = [("corr_main", lambda t: hs_fold[t])]
-            for name, fn in fam:
-                cc = []
-                for b, t, hsd in deltas(fn):
-                    if name == "corr_ons":
-                        wc, sc = pack_ms_onsite_df64(hsd, st_id)
-                        gc = ((0, self.w_ons.shape[1]),)
-                    else:
-                        wc, sc, rad_c, gc = pack_ms_kernel_df64(hsd, st_id)
-                        if rad_c != self.radius:
-                            raise ValueError("correction radius mismatch")
-                    all_groups |= set(gc)
-                    cc.append((wc, jnp.float32(sc), zmask_chan(b, t)))
-                setattr(self, name, tuple(cc))
-            bounds = sorted({p for g in all_groups for p in g})
-            self.groups = tuple(zip(bounds[:-1], bounds[1:]))
+                hs_fold = hs_r.copy()
+                hs_fold[:, 0] += ls_r  # lsham folds into the onsite slot
+                self.w, self.scale, self.radius, self.groups = \
+                    pack_ms_kernel_df64(hs_fold, st)
+                self.w_o = self.w  # placeholder (same shape, unused)
+                self.scale_o = self.scale
+                nchunks = df64.DF64_CHUNKS
+                nd = nchunks * st.ntot * self.d
+                self.w_ons = jnp.zeros((nd, nd), jnp.bfloat16)
+                self.scale_ons = 1.0
+                fam = (hs_fold, None, None)
+            self.mask_np = mask_channels(st, self.d)
+            self.local = None
+            if local is not None and int(local.get("nmax", 0)) > 0:
+                # hall deltas are relative to the UNfolded ee rows in
+                # both branches: the non-hoh kernel folds lsham into its
+                # onsite slot, and the reference applies lsham to hall
+                # rows too (block SpMV adds lsham[iz_onsite] for every
+                # row, recursion.f90 hop_b :1560)
+                self.local = self._build_local(local, hs_r, hso, st)
+            # per-layer-type row corrections (surface slabs; impurity
+            # re-typed zones): gather tables, one delta per (basis,type)
+            self.gcorr = None
+            if st.atom_type is not None:
+                self.gcorr = self._build_gcorr(st, fam)
+
+    # -- geometry index tables (Hamiltonian-independent, cached on st) --
+    def _geom(self):
+        """Gather/stage geometry for this stencil+block size, cached on
+        the stencil object (constant across SCF iterations)."""
+        key = ("_ms_geom", self.d)
+        g = getattr(self.st, "_ms_geom_cache", None)
+        if g is None:
+            g = {}
+            self.st._ms_geom_cache = g
+        if key not in g:
+            g[key] = {"stage": {}}
+        return g[key]
+
+    def _gcorr_geom(self, st):
+        """Full-grid gather indices for the typed-layer corrections."""
+        geom = self._geom()
+        if "gc" in geom:
+            return geom["gc"]
+        d = self.d
+        at = st.atom_type
+        bs = st.basis
+        specs = []
+        for b in range(st.ntot):
+            tm = int(st.basis_type[b])
+            for t in sorted(set(int(x) for x in at[bs == b]) - {tm}):
+                specs.append((b, t))
+        if not specs:
+            geom["gc"] = None
+            return None
+        atoms = []
+        grp = []
+        for gidx, (b, t) in enumerate(specs):
+            sel_i = np.nonzero((bs == b) & (at == t))[0]
+            atoms.append(sel_i)
+            grp.append(np.full(sel_i.size, gidx))
+        atoms = np.concatenate(atoms)
+        grp = np.concatenate(grp)
+        na = atoms.size
+        cells_a = st.cells[atoms]  # (na, 3)
+        b_a = bs[atoms]
+        nc = cells_a[:, None, :] + st.dcells[b_a]  # (na, nslots, 3)
+        nb_s = st.nbasis[b_a]  # (na, nslots)
+        dims = np.asarray(st.dims)
+        inb = ((nc >= 0) & (nc < dims[None, None])).all(axis=2)
+        ok = st.slot_ok[b_a] & inb
+        ncl = np.clip(nc, 0, dims[None, None] - 1)
+        cell = _ravel_cells(ncl, st.dims).astype(np.int32)
+        cell[~ok] = 0
+        chan = (nb_s[..., None] * d
+                + np.arange(d)[None, None, :]).astype(np.int32)
+        out_rows = b_a[:, None] * d + np.arange(d)[None, :]
+        out_idx = (out_rows * self.ncells
+                   + _ravel_cells(cells_a, st.dims)[:, None])
+        sel = np.zeros((na, len(specs)))
+        sel[np.arange(na), grp] = 1.0
+        geom["gc"] = {
+            "specs": specs, "atoms": atoms, "cells_a": cells_a,
+            "nc": nc, "ok": ok, "b_a": b_a,
+            "chan": jnp.asarray(chan),
+            "cell": jnp.asarray(cell),
+            "out": jnp.asarray(out_idx.ravel().astype(np.int32)),
+            "vmask": jnp.asarray(ok.astype(np.float32)),
+            "sel": jnp.asarray(sel),
+        }
+        return geom["gc"]
+
+    def _build_gcorr(self, st, fam):
+        gc = self._gcorr_geom(st)
+        if gc is None:
+            return None
+        specs = gc["specs"]
+        nslots = st.dcells.shape[1]
+        d = self.d
+
+        def deltas(tab, onsite=False):
+            if tab is None:
+                return None
+            out = np.zeros((len(specs), 1 if onsite else nslots, d, d))
+            for g, (b, t) in enumerate(specs):
+                tm = int(st.basis_type[b])
+                if onsite:
+                    out[g, 0] = tab[t] - tab[tm]
+                else:
+                    m = st.slot_ok[b]
+                    out[g, m] = tab[t, m] - tab[tm, m]
+            return jnp.asarray(out)
+
+        tabs = {"delta": deltas(fam[0])}
+        if self.hoh:
+            tabs["delta_o"] = deltas(fam[1])
+            tabs["delta_ons"] = deltas(fam[2], onsite=True)
+        return dict(tabs, chan=gc["chan"], cell=gc["cell"], out=gc["out"],
+                    vmask=gc["vmask"], sel=gc["sel"])
 
     # -- impurity local zone -------------------------------------------
-    def _build_local(self, local, hs_r, hso, st):
-        """Per-atom gather-correction tables for the impurity-local
-        ``hall`` rows (hamiltonian.f90 ``build_locham``): the conv
-        assigns ``ee[type_i]`` to every atom; nmax small deltas
-        (hall[i] - ee[type_i]) restore the exact per-atom rows."""
-        from .block_lanczos import realify_blocks
-
+    def _local_geom(self, local, st):
+        """Full-grid gather indices for the per-atom hall rows."""
+        geom = self._geom()
+        if "loc" in geom:
+            return geom["loc"]
         nmax = int(local["nmax"])
         d = self.d
         cols = np.asarray(local["cols"])[:nmax]
+        absent = cols >= st.kk
+        j = np.where(absent, 0, cols)
+        cells_j = st.cells[j]
+        cells_i = st.cells[:nmax]
+        # the hall neighbors come from the same neighbor map as the
+        # stencil slots, so their reach never exceeds the tap radius —
+        # required for the stage plan's ball bound to cover them
+        reach = np.abs(cells_j - cells_i[:, None]).max(axis=(0, 1))
+        if (reach > np.asarray(self.radius)).any():
+            raise ValueError("hall neighbor outside stencil radius")
+        cellj = _ravel_cells(cells_j, st.dims).astype(np.int32)
+        cellj[absent] = 0
+        bj = st.basis[j]
+        chan = (bj[..., None] * d
+                + np.arange(d)[None, None, :]).astype(np.int32)
+        out_idx = ((st.basis[:nmax, None] * d + np.arange(d)[None, :])
+                   * self.ncells
+                   + _ravel_cells(cells_i, st.dims)[:, None])
+        geom["loc"] = {
+            "nmax": nmax, "absent": absent, "cells_j": cells_j,
+            "cells_i": cells_i,
+            "chan": jnp.asarray(chan),
+            "cell": jnp.asarray(cellj),
+            "out": jnp.asarray(out_idx.ravel().astype(np.int32)),
+            "vmask": jnp.asarray((~absent).astype(np.float32)),
+        }
+        return geom["loc"]
+
+    def _build_local(self, local, hs_main, hso, st):
+        """Per-atom gather-correction tables for the impurity-local
+        ``hall`` rows (hamiltonian.f90 ``build_locham`` :1618): the conv
+        assigns ``ee[type_i]`` to every atom (via the typed-layer
+        corrections when the zone is re-typed); nmax small deltas
+        (hall[i] - ee[type_i]) restore the exact per-atom rows."""
+        from .block_lanczos import realify_blocks
+
+        lg = self._local_geom(local, st)
+        nmax = lg["nmax"]
         hall_r = realify_blocks(np.asarray(local["hall"]))
         at = (st.atom_type if st.atom_type is not None
               else st.basis_type[st.basis])
         tloc = np.asarray(at)[:nmax]
-        delta = hall_r - hs_r[tloc]
-        absent = cols >= st.kk
-        delta[absent] = 0.0
+        delta = hall_r - hs_main[tloc]
+        delta[lg["absent"]] = 0.0
+        tabs = {"delta": jnp.asarray(delta)}
         if self.hoh:
             hallo_r = realify_blocks(np.asarray(local["hallo"]))
             eeo_r = realify_blocks(np.asarray(hso))
             delta_o = hallo_r - eeo_r[tloc]
-            delta_o[absent] = 0.0
-        else:
-            delta_o = np.zeros_like(delta)
-        nx, ny, nz = st.dims
-        cell_lin = ((st.cells[:, 0] * ny + st.cells[:, 1]) * nz
-                    + st.cells[:, 2])
-        j = np.where(absent, 0, cols)
-        cellj = cell_lin[j]
-        bj = st.basis[j]
-        chan = bj[..., None] * d + np.arange(d)[None, None, :]
-        ncell = nx * ny * nz
-        out_idx = ((st.basis[:nmax, None] * d + np.arange(d)[None, :])
-                   * ncell + cell_lin[:nmax, None])
-        return {"delta": jnp.asarray(delta),
-                "delta_o": jnp.asarray(delta_o),
-                "chan": jnp.asarray(chan.astype(np.int32)),
-                "cell": jnp.asarray(cellj.astype(np.int32)),
-                "out": jnp.asarray(out_idx.ravel().astype(np.int32))}
+            delta_o[lg["absent"]] = 0.0
+            tabs["delta_o"] = jnp.asarray(delta_o)
+        return dict(tabs, chan=lg["chan"], cell=lg["cell"],
+                    out=lg["out"], vmask=lg["vmask"])
+
+    # -- per-stage tables ----------------------------------------------
+    def _stage_geom(self, bbox):
+        """(mask_dev, idx_cells, sub_dims, loc_remap, gc_remap) for one
+        stage box, cached on the stencil (geometry only)."""
+        stages = self._geom()["stage"]
+        hit = stages.get(bbox)
+        if hit is not None:
+            return hit
+        st = self.st
+        (lo, hi) = (np.asarray(bbox[0]), np.asarray(bbox[1]))
+        sdims = tuple(int(x) for x in hi - lo)
+        full = sdims == self.dims
+        # flat linear indices of the subgrid cells within the full grid
+        gx, gy, gz = np.meshgrid(*[np.arange(lo[k], hi[k])
+                                   for k in range(3)], indexing="ij")
+        sub_cells = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        idx = _ravel_cells(sub_cells, st.dims).astype(np.int32)
+        mask3 = self.mask_np.reshape((-1,) + self.dims)
+        mask_sub = jnp.asarray(
+            mask3[:, lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+            .reshape(mask3.shape[0], -1))
+
+        def remap(cells_i, cells_j, ok0):
+            """Remap (atom cells, neighbor cells) into the stage box.
+            Neighbor cells outside the box gather (masked) zeros; atom
+            rows outside scatter to an out-of-bounds sentinel, which
+            JAX scatters DROP — never a collision with a valid row."""
+            in_i = ((cells_i >= lo) & (cells_i < hi)).all(axis=-1)
+            in_j = ((cells_j >= lo) & (cells_j < hi)).all(axis=-1)
+            v = ok0 & in_j & in_i[:, None]
+            cj = np.clip(cells_j - lo, 0, np.asarray(sdims) - 1)
+            cell = _ravel_cells(cj, sdims).astype(np.int32)
+            cell[~v] = 0
+            ci = np.clip(cells_i - lo, 0, np.asarray(sdims) - 1)
+            return v, cell, _ravel_cells(ci, sdims), in_i
+
+        ent = {"sdims": sdims, "full": full,
+               "idx": jnp.asarray(idx), "idx_np": idx,
+               "mask": mask_sub, "loc": None, "gc": None}
+        geom = self._geom()
+        d = self.d
+        ncs = int(np.prod(sdims))
+        oob = np.int64(ncs) * (self.st.ntot * d)  # dropped by scatter
+        if geom.get("loc") is not None:
+            lg = geom["loc"]
+            nmax = lg["nmax"]
+            v, cell, ci_lin, in_i = remap(lg["cells_i"], lg["cells_j"],
+                                          ~lg["absent"])
+            out_idx = ((self.st.basis[:nmax, None] * d
+                        + np.arange(d)[None, :]) * ncs
+                       + ci_lin[:, None])
+            out_idx[~in_i] = oob
+            ent["loc"] = {"chan": lg["chan"],
+                          "cell": jnp.asarray(cell),
+                          "out": jnp.asarray(
+                              out_idx.ravel().astype(np.int32)),
+                          "vmask": jnp.asarray(v.astype(np.float32))}
+        if geom.get("gc") is not None:
+            gc = geom["gc"]
+            v, cell, ci_lin, in_i = remap(gc["cells_a"], gc["nc"],
+                                          gc["ok"])
+            out_rows = gc["b_a"][:, None] * d + np.arange(d)[None, :]
+            out_idx = out_rows * ncs + ci_lin[:, None]
+            out_idx[~in_i] = oob
+            ent["gc"] = {"chan": gc["chan"],
+                         "cell": jnp.asarray(cell),
+                         "out": jnp.asarray(
+                             out_idx.ravel().astype(np.int32)),
+                         "vmask": jnp.asarray(v.astype(np.float32)),
+                         "sel": gc["sel"]}
+        stages[bbox] = ent
+        return ent
+
+    def _stage_tables(self, bbox):
+        """(mask, local, gcorr, sdims, entry) with the Hamiltonian
+        deltas composed onto the cached stage geometry."""
+        ent = self._stage_geom(bbox)
+        if not ent["full"] and (
+                (self.local is not None and ent["loc"] is None)
+                or (self.gcorr is not None and ent["gc"] is None)):
+            # stage entry cached before the correction geometry existed
+            self._geom()["stage"].pop(bbox, None)
+            ent = self._stage_geom(bbox)
+        loc = None
+        if self.local is not None:
+            if ent["full"]:
+                loc = self.local
+            else:
+                loc = dict(ent["loc"])
+                for k in ("delta", "delta_o"):
+                    if k in self.local:
+                        loc[k] = self.local[k]
+        gco = None
+        if self.gcorr is not None:
+            if ent["full"]:
+                gco = self.gcorr
+            else:
+                gco = dict(ent["gc"])
+                for k in ("delta", "delta_o", "delta_ons"):
+                    if k in self.gcorr:
+                        gco[k] = self.gcorr[k]
+        return ent["mask"], loc, gco, ent["sdims"], ent
 
     @property
-    def corr(self):
-        return (self.corr_main, self.corr_o, self.corr_ons)
-
-    def _corr_sliced(self, bbox):
-        """Correction triples with zmasks sliced to a stage subgrid."""
-        if not (self.corr_main or self.corr_o or self.corr_ons):
-            return ((), (), ())
-        sl = lambda cc: tuple((w, s, self._slice_grid(zm, bbox))
-                              for (w, s, zm) in cc)
-        return (sl(self.corr_main), sl(self.corr_o), sl(self.corr_ons))
+    def full_bbox(self):
+        return ((0, 0, 0), self.dims)
 
     # -- start blocks --------------------------------------------------
     def embed(self, psi0_complex: np.ndarray) -> jnp.ndarray:
@@ -922,12 +1097,10 @@ class MSEngine:
         """Greedy wavefront staging (the create_ll_map device,
         recursion.f90:3277-3303, composed with the conv engine): step i
         needs the box reached after (first_ball + i - 1 + 1) hop-radii.
-        Returns [(nsteps_k, (lo, hi))] or None when dense is cheaper.
+        Box dims are quantised to multiples of 4 so distinct cases and
+        SCF iterations share compiled stage shapes.  Returns
+        [(nsteps_k, (lo, hi))] or None when dense is cheaper.
         """
-        if self.local is not None:
-            # impurity corrections index the FULL grid; subgrid staging
-            # would need index remapping per stage — not composed yet
-            return None
         hops = 2 if self.hoh else 1
         rad = np.asarray(self.radius)
         dims = np.asarray(self.st.dims)
@@ -938,6 +1111,8 @@ class MSEngine:
             m = (first_ball + i) * hops
             lo = np.maximum(0, lo0 - m * rad)
             hi = np.minimum(dims, hi0 + 1 + m * rad)
+            lo = (lo // 4) * 4
+            hi = np.minimum(dims, -(-hi // 4) * 4)
             boxes.append((tuple(int(x) for x in lo),
                           tuple(int(x) for x in hi)))
             vols.append(int(np.prod(hi - lo)))
@@ -959,41 +1134,49 @@ class MSEngine:
             return None
         return plan
 
-    def _slice_grid(self, x, bbox):
-        (x0, y0, z0), (x1, y1, z1) = bbox
-        return x[..., x0:x1, y0:y1, z0:z1]
+    def _transfer_pair(self, pair, old_ent, new_ent):
+        """Move a flat stage pair from one box to a larger one via a
+        host-precomputed scatter (no padded 5-D transients)."""
+        pos = np.searchsorted(new_ent["idx_np"], old_ent["idx_np"])
+        pos = jnp.asarray(pos.astype(np.int32))
+        shape = pair[0].shape[:-1] + (int(np.prod(new_ent["sdims"])),)
 
-    @staticmethod
-    def _pad_pair(pair, old_bbox, new_bbox):
-        widths = [(0, 0)] * (pair[0].ndim - 3) + [
-            (old_bbox[0][ax] - new_bbox[0][ax],
-             new_bbox[1][ax] - old_bbox[1][ax]) for ax in range(3)]
-        return (jnp.pad(pair[0], widths), jnp.pad(pair[1], widths))
+        def put(x):
+            return jnp.zeros(shape, x.dtype).at[..., pos].set(x)
+
+        return put(pair[0]), put(pair[1])
 
     # -- engines -------------------------------------------------------
     def _chain_batch(self, r: int) -> int:
-        """Largest chain batch the engine state fits in HBM: per-chain
-        cost ~ ncells * ntot*D * 36 * (chunk bf16 + ~6 pair f32 arrays)
-        bytes, times the live-temp multiplier of each correction conv
-        and XLA's ~2x tile-padding on small spatial dims.  Override
-        budget: RSLMTO_MS_HBM_BYTES (default 6 GiB)."""
+        """Largest chain batch the engine state fits in HBM.
+
+        Flat-state bytes per chain: ~8 live df64 pairs + 2 chunk
+        extractions + the NDHWC conv transients (pad factor ~2 on the
+        two minor dims).  Override budget: RSLMTO_MS_HBM_BYTES
+        (default 9 GiB)."""
         import os as _os
 
-        budget = int(_os.environ.get("RSLMTO_MS_HBM_BYTES", 6 << 30))
-        ncells = int(np.prod(self.st.dims))
-        per = ncells * self.st.ntot * self.d * self.d * (14 + 48)
-        per *= 2 * (1 + len(self.corr_main))  # layout padding + corr temps
+        budget = int(_os.environ.get("RSLMTO_MS_HBM_BYTES", 9 << 30))
+        nd = self.st.ntot * self.d
+        per = self.ncells * nd * self.d * 150
         return max(1, min(r, budget // max(per, 1)))
 
     def block_lanczos(self, psi0_grid, lld: int, start_bbox=None):
         r = psi0_grid.shape[0]
         rb = self._chain_batch(r)
         if rb < r:
-            parts = [self.block_lanczos(psi0_grid[i:i + rb], lld,
-                                        start_bbox=start_bbox)
-                     for i in range(0, r, rb)]
-            return (np.concatenate([p[0] for p in parts], axis=1),
-                    np.concatenate([p[1] for p in parts], axis=1))
+            # fixed batch size: pad R up to a multiple of rb with copies
+            # of chain 0 so every batch compiles to the SAME shape
+            # (round-3 weak #7: per-batch-size jit churn)
+            pads = (-r) % rb
+            if pads:
+                psi0_grid = jnp.concatenate(
+                    [psi0_grid] + [psi0_grid[:1]] * pads, axis=0)
+            parts = [self._block_lanczos_one(psi0_grid[i:i + rb], lld,
+                                             start_bbox)
+                     for i in range(0, r + pads, rb)]
+            return (np.concatenate([p[0] for p in parts], axis=1)[:, :r],
+                    np.concatenate([p[1] for p in parts], axis=1)[:, :r])
         return self._block_lanczos_one(psi0_grid, lld, start_bbox)
 
     def _block_lanczos_one(self, psi0_grid, lld: int, start_bbox=None):
@@ -1011,33 +1194,30 @@ class MSEngine:
         if start_bbox is not None and lld > 2:
             plan = self.stage_plan(start_bbox, lld - 1, first_ball=1)
         if plan is None:
-            full_bbox = ((0, 0, 0), self.st.dims)
-            plan = [(lld - 1, full_bbox)]
+            plan = [(lld - 1, self.full_bbox)]
         args = (jnp.float32(self.scale), jnp.float32(self.scale_o),
                 jnp.float32(self.scale_ons))
         psi = pmn = None
         sum_b = jnp.broadcast_to(jnp.eye(d, dtype=jnp.float64), (r, d, d))
-        prev = None
+        prev_ent = None
         a_parts, b_parts = [], []
         for nsteps, bbox in plan:
+            mask_sub, loc, gco, sdims, ent = self._stage_tables(bbox)
             if psi is None:
-                lo, hi = bbox
-                sub = flat[..., lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+                sub = flat[..., ent["idx"]]
                 psi = (sub, jnp.zeros_like(sub))
                 pmn = (jnp.zeros_like(sub), jnp.zeros_like(sub))
             else:
-                psi = self._pad_pair(psi, prev, bbox)
-                pmn = self._pad_pair(pmn, prev, bbox)
-            mask_sub = self._slice_grid(self.mask_chan, bbox)
+                psi = self._transfer_pair(psi, prev_ent, ent)
+                pmn = self._transfer_pair(pmn, prev_ent, ent)
             unroll = nsteps if unroll_all else 1
             psi, pmn, sum_b, a_b, b2_b = _block_stage_ms_jit(
-                self.w, self.w_o, self.w_ons, self._corr_sliced(bbox),
-                self.local, mask_sub, psi, pmn, sum_b,
-                *args, nsteps, self.hoh, self.radius, self.groups,
-                self.st.ntot, d, unroll)
+                self.w, self.w_o, self.w_ons, loc, gco, mask_sub,
+                psi, pmn, sum_b, *args, nsteps, self.hoh, self.radius,
+                self.groups, sdims, d, unroll)
             a_parts.append(np.asarray(a_b))
             b_parts.append(np.asarray(b2_b))
-            prev = bbox
+            prev_ent = ent
         a_b = np.concatenate(a_parts + [np.zeros((1, r, d, d))], axis=0)
         b2_b = np.concatenate(b_parts + [np.asarray(sum_b)[None]], axis=0)
         return unrealify_blocks(a_b), unrealify_blocks(b2_b)
@@ -1047,10 +1227,14 @@ class MSEngine:
         r = psi0_grid.shape[0]
         rb = self._chain_batch(r)
         if rb < r:
-            parts = [self.chebyshev_moments(psi0_grid[i:i + rb], lld,
-                                            a, b, start_bbox=start_bbox)
-                     for i in range(0, r, rb)]
-            return np.concatenate(parts, axis=1)
+            pads = (-r) % rb
+            if pads:
+                psi0_grid = jnp.concatenate(
+                    [psi0_grid] + [psi0_grid[:1]] * pads, axis=0)
+            parts = [self._chebyshev_moments_one(
+                psi0_grid[i:i + rb], lld, a, b, start_bbox)
+                for i in range(0, r + pads, rb)]
+            return np.concatenate(parts, axis=1)[:, :r]
         return self._chebyshev_moments_one(psi0_grid, lld, a, b,
                                            start_bbox)
 
@@ -1076,36 +1260,32 @@ class MSEngine:
             # scan step j emits T_{j+1}: ball (j+1) applications deep
             plan = self.stage_plan(start_bbox, lld, first_ball=2)
         if plan is None:
-            full_bbox = ((0, 0, 0), self.st.dims)
-            init_bbox = full_bbox
-            plan = [(lld, full_bbox)]
+            init_bbox = self.full_bbox
+            plan = [(lld, self.full_bbox)]
         else:
             # the init (T_1 = H~ T_0) needs one application's reach
             ip = self.stage_plan(start_bbox, 1, first_ball=1)
-            init_bbox = ip[0][1] if ip else ((0, 0, 0), self.st.dims)
-        lo, hi = init_bbox
-        flat = psi0_grid[..., lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
-        mask_sub = self._slice_grid(self.mask_chan, init_bbox)
+            init_bbox = ip[0][1] if ip else self.full_bbox
+        mask_sub, loc, gco, sdims, ent = self._stage_tables(init_bbox)
+        flat = psi0_grid[..., ent["idx"]]
         p0, p1, mu0, mu1 = _cheb_init_ms_jit(
-            self.w, self.w_o, self.w_ons, self._corr_sliced(init_bbox),
-            self.local, mask_sub, flat, *args,
-            self.hoh, self.radius, self.groups, self.st.ntot, d)
+            self.w, self.w_o, self.w_ons, loc, gco, mask_sub, flat,
+            *args, self.hoh, self.radius, self.groups, sdims, d)
         odd_parts, even_parts = [], []
-        prev = init_bbox
+        prev_ent = ent
         for nsteps, bbox in plan:
-            if bbox != prev:
-                p0 = self._pad_pair(p0, prev, bbox)
-                p1 = self._pad_pair(p1, prev, bbox)
-            mask_sub = self._slice_grid(self.mask_chan, bbox)
+            mask_sub, loc, gco, sdims, ent = self._stage_tables(bbox)
+            if ent is not prev_ent:
+                p0 = self._transfer_pair(p0, prev_ent, ent)
+                p1 = self._transfer_pair(p1, prev_ent, ent)
             unroll = nsteps if unroll_all else 1
             p0, p1, mu_odd, mu_even = _cheb_stage_ms_jit(
-                self.w, self.w_o, self.w_ons, self._corr_sliced(bbox),
-                self.local, mask_sub, p0, p1, mu0, mu1,
-                *args, nsteps, self.hoh, self.radius, self.groups,
-                self.st.ntot, d, unroll)
+                self.w, self.w_o, self.w_ons, loc, gco, mask_sub,
+                p0, p1, mu0, mu1, *args, nsteps, self.hoh, self.radius,
+                self.groups, sdims, d, unroll)
             odd_parts.append(np.asarray(mu_odd))
             even_parts.append(np.asarray(mu_even))
-            prev = bbox
+            prev_ent = ent
         mu_odd = np.concatenate(odd_parts, axis=0)
         mu_even = np.concatenate(even_parts, axis=0)
         mu = np.zeros((2 * lld + 2, r, d, d))

@@ -168,15 +168,6 @@ def _ms_engine_for(cluster, hs, lsham, hoh, hso, enim, local=None):
     the blocks every iteration)."""
     if cluster is None or os.environ.get("RSLMTO_NO_MSCONV"):
         return None
-    if local is not None:
-        # impurity corrections carry extra full-grid temps; above this
-        # grid size the conv engine does not reliably fit 16G HBM
-        # alongside them (measured on B2FeCo) — use the gather engine
-        st0 = getattr(cluster, "_ms_stencil", None)
-        ncells = (int(np.prod(st0.dims)) if st0 is not None
-                  else int(np.asarray(cluster.cr).shape[0]))
-        if ncells > int(os.environ.get("RSLMTO_MS_IMP_CELLS", "6000")):
-            return None
     from ..ops.msconv import MSEngine, build_ms_stencil
 
     st = getattr(cluster, "_ms_stencil", None)
@@ -193,6 +184,21 @@ def _ms_engine_for(cluster, hs, lsham, hoh, hso, enim, local=None):
             cluster._ms_stencil_failed = True
             return None
         cluster._ms_stencil = st
+    # bytes model (replaces the round-3 RSLMTO_MS_IMP_CELLS atom-count
+    # gate): a single chain column-batch must fit the per-chip budget —
+    # a runtime OOM on the axon backend crashes the TPU worker process,
+    # so prediction is the only safe gate
+    nd = st.ntot * 36
+    per_chain = int(np.prod(st.dims)) * nd * 36 * 150
+    budget = int(os.environ.get("RSLMTO_MS_HBM_BYTES", 9 << 30))
+    if per_chain > budget:
+        from ..utils.logger import g_logger
+
+        g_logger.info(
+            f"multi-site conv engine needs ~{per_chain/2**30:.1f} GiB "
+            f"per chain (> {budget/2**30:.1f} GiB budget); using the "
+            "gather engine")
+        return None
     try:
         return MSEngine(st, hs, lsham, hoh=hoh, hso=hso, enim=enim,
                         local=local)

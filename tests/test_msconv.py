@@ -108,10 +108,10 @@ def test_ms_stencil_rejects_wrapped_pbc():
 
 
 def test_ms_surface_layered_parity(reference_dir):
-    """Surface slabs on the conv engine: per-layer types become masked
-    delta-kernel corrections (bulk main kernel + (H_t - H_bulk) convs
-    restricted to their z-planes).  Parity vs the gather engine on a
-    reduced real fccCu001 cluster, with and without HoH."""
+    """Surface slabs on the conv engine: per-layer types become gather
+    corrections (bulk main kernel + (H_t - H_bulk) row deltas gathered
+    per special-type atom).  Parity vs the gather engine on a reduced
+    real fccCu001 cluster, with and without HoH."""
     import os
     import shutil
     import tempfile
@@ -148,7 +148,7 @@ def test_ms_surface_layered_parity(reference_dir):
         eng = MSEngine(st, hb.ee, lsham, hoh=hoh,
                        hso=hb.eeo if hoh else None,
                        enim=hb.enim if hoh else None)
-        assert eng.corr_main, "surface corrections expected"
+        assert eng.gcorr is not None, "surface corrections expected"
         a_ms, b_ms = eng.block_lanczos(eng.embed(psi0), lld)
         np.testing.assert_allclose(a_ms, np.asarray(a_ref), atol=1e-10)
         np.testing.assert_allclose(b_ms, np.asarray(b_ref), atol=1e-10)
@@ -204,4 +204,54 @@ def test_ms_impurity_local_parity(reference_dir):
         a_ms, b_ms = eng.block_lanczos(eng.embed(psi0), lld)
         np.testing.assert_allclose(a_ms, np.asarray(a_ref), atol=1e-9)
         np.testing.assert_allclose(b_ms, np.asarray(b_ref), atol=1e-9)
+    shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_ms_staging_with_corrections(reference_dir):
+    """Round-4 composition: the wavefront stage plan now composes with
+    the gather corrections (impurity hall rows + re-typed zones) by
+    remapping the correction indices into each stage box — the round-3
+    blocker that kept B2FeCo off the staged conv path.  Staged vs dense
+    on a reduced real B2FeCo impurity cluster with HoH."""
+    import os
+    import shutil
+    import tempfile
+
+    from rslmtoasa_tpu.config import JobConfig
+    from rslmtoasa_tpu.models.bulk import BulkSystem
+
+    src = str(reference_dir / "tests/scf/cases/impurity/B2FeCo")
+    wd = tempfile.mkdtemp(prefix="rslmto_impstage_")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), wd)
+    cfg = JobConfig.from_file(os.path.join(wd, "input.nml"))
+    cfg.atoms.database = wd
+    cfg.control.nsp = 2
+    cfg.hamiltonian.hoh = True
+    cfg.lattice.rc = 24.0
+    cfg.lattice.ndim = 30000
+    sys_ = BulkSystem.build(cfg, wd)
+    sys_.build_hamiltonian()
+    cl, hb = sys_.cluster, sys_.ham
+    rec = [int(j) - 1 for j in cl.irec]
+    psi0 = block_start_vectors(cl.kk, rec)
+    lld = 5
+    st = build_ms_stencil(cl)
+    eng = MSEngine(st, hb.ee, hb.lsham, hoh=True, hso=hb.eeo,
+                   enim=hb.enim,
+                   local={"nmax": cl.nmax, "cols": hb.cols,
+                          "hall": hb.hall, "hallo": hb.hallo})
+    assert eng.local is not None and eng.gcorr is not None
+    g = eng.embed(psi0)
+    bbox = eng.start_bbox(psi0)
+    plan = eng.stage_plan(bbox, lld - 1, first_ball=1)
+    assert plan is not None and len(plan) > 1, \
+        f"staging should engage with corrections (plan={plan})"
+    a_st, b_st = eng.block_lanczos(g, lld, start_bbox=bbox)
+    a_dn, b_dn = eng.block_lanczos(g, lld)
+    np.testing.assert_allclose(a_st, a_dn, atol=1e-11)
+    np.testing.assert_allclose(b_st, b_dn, atol=1e-11)
+    mu_st = eng.chebyshev_moments(g, lld, 1.9, -0.2, start_bbox=bbox)
+    mu_dn = eng.chebyshev_moments(g, lld, 1.9, -0.2)
+    np.testing.assert_allclose(mu_st, mu_dn, atol=1e-11)
     shutil.rmtree(wd, ignore_errors=True)
