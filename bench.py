@@ -44,15 +44,20 @@ def main():
     from rslmtoasa_tpu.ops.stencil_conv import build_conv_stencil
 
     lld = 20
-    # production-scale cluster (~11k atoms) and a wide chain batch
-    # (16 start atoms x 9 orbitals = 144 columns) so the MXU is fed;
-    # the earlier 1-atom/3k-cluster size was dispatch-latency-bound.
-    sys_ = build_synthetic_bcc(rc=120.0, ndim=1000000, lld=lld)
+    # production-scale cluster (27k atoms) and a wide chain batch
+    # (16 start atoms x 9 orbitals = 144 columns) so the MXU is fed.
+    # The cluster is the full 30^3 supercell BOX (the reference's
+    # pbc=.true. shape, lattice.f90 bravais :1082-1089), not a spherical
+    # cut: the conv engine processes every cell of the bounding box, so
+    # a sphere wastes 1-pi/6 of the MXU work on empty cells (round-3
+    # occupancy 0.37); the box shape is the speed-of-light geometry.
+    sys_ = build_synthetic_bcc(rc=120.0, ndim=1000000, lld=lld, box=30)
     hb = sys_.ham
     kk = hb.kk
     nslots = hb.nslots
     n_start = 16
     st = build_conv_stencil(sys_.cluster)
+    ncells = int(np.prod(st.dims))
     print(f"# cluster kk={kk} nslots={nslots} lld={lld} chains={9*n_start} "
           f"box dims={st.dims} occupancy={kk/np.prod(st.dims):.2f}",
           file=sys.stderr)
@@ -101,6 +106,18 @@ def main():
     gnnz = work / dt / 1e9
     print(f"# device recursion: {dt*1e3:.1f} ms -> {gnnz:.3f} Gnnz/s",
           file=sys.stderr)
+    # roofline accounting (BASELINE.md "speed-of-light" target): the
+    # kernel's bf16 MXU flops per recursion step are one (C, 7*18,
+    # grid) x (7*18, 7*18, 27) conv — 8 real flops per logical complex
+    # MAC x 49 df64 chunk pairs x 27/nslots tap padding x 1/occupancy
+    # box padding per logical nnz.
+    conv_flops = 2.0 * c * ncells * 27 * (7 * 18) ** 2 * (lld - 1)
+    tf = conv_flops / dt / 1e12
+    peak = 197.0  # TPU v5e bf16 peak TF/s
+    print(f"# conv bf16: {tf:.1f} TF/s ({100*tf/peak:.0f}% of v5e peak); "
+          f"{conv_flops/work:.0f} bf16 flops/nnz "
+          f"(8 complex x 49 df64 x {27/nslots:.2f} taps x "
+          f"{ncells*1.0/kk:.2f} box)", file=sys.stderr)
 
     # correctness guard: the device coefficients must match a host f64
     # reference (catches silent downcasts / wrong execution)

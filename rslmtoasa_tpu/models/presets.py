@@ -69,11 +69,15 @@ def synthetic_bcc_config(rc: float = 50.0, ndim: int = 10000,
 
 
 def build_synthetic_bcc(rc: float = 50.0, ndim: int = 10000, lld: int = 16,
-                        nsp: int = 1, hoh: bool = False):
+                        nsp: int = 1, hoh: bool = False, box: int = 0):
     """Geometry + Hamiltonian for the synthetic bcc system.
 
     Returns a ready :class:`~rslmtoasa_tpu.models.bulk.BulkSystem` with the
-    Hamiltonian built.
+    Hamiltonian built.  ``box=n`` builds the full n x n x n supercell box
+    (the reference's ``pbc=.true.`` cluster shape, ``lattice.f90
+    bravais`` :1082-1089) instead of the spherical ``rc`` cut — the
+    cell grid is then fully occupied, which is the shape the conv
+    engines are speed-of-light on.
     """
     from .bulk import BulkSystem
 
@@ -91,8 +95,13 @@ def build_synthetic_bcc(rc: float = 50.0, ndim: int = 10000, lld: int = 16,
     from ..physics.energy_mesh import EnergyMesh
 
     cell = primitive_cell("bcc")
-    cl = bravais_cluster(cell, alat=cfg.lattice.alat, rc=rc, ndim=ndim,
-                         wav=cfg.lattice.wav)
+    if box:
+        cl = bravais_cluster(cell, alat=cfg.lattice.alat, rc=rc,
+                             ndim=ndim, wav=cfg.lattice.wav, pbc=True,
+                             pbc_dims=(box, box, box))
+    else:
+        cl = bravais_cluster(cell, alat=cfg.lattice.alat, rc=rc,
+                             ndim=ndim, wav=cfg.lattice.wav)
     neighbor_map(cl, ct1=3.0)
     sys_.cluster = cl
     sys_.sbars, sys_.sbarvecs = sbar_for_cluster(cl.cr_ang, cl.iu, cl.wav, 9.0)
