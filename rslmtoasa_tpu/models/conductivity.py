@@ -324,18 +324,22 @@ class ConductivityCalculation:
         rng = np.random.default_rng(20260821)
         mu = np.zeros((18, 18, cond_ll, cond_ll, loop_over), np.complex128)
 
-        def _psiref(t):
+        def _psiref_c(t):
+            """Start block, complex (kk, 18, 18)."""
             if calctype == "per_type":
                 j = int(cl.atlist[t]) - 1
-                p = np.zeros((cl.kk, d, d),
-                             np.float32 if realified else np.complex128)
-                p[j] = np.eye(d)
+                p = np.zeros((cl.kk, 18, 18), np.complex128)
+                p[j] = np.eye(18)
                 return p
             ph = np.exp(2j * np.pi * rng.random(cl.kk)) \
                 / np.sqrt(float(cl.kk))
             pc = np.zeros((cl.kk, 18, 18), np.complex128)
             idx = np.arange(18)
             pc[:, idx, idx] = ph[:, None]
+            return pc
+
+        def _psiref(t):
+            pc = _psiref_c(t)
             if realified:
                 from ..ops.block_lanczos import realify_blocks
 
@@ -351,9 +355,36 @@ class ConductivityCalculation:
                 enim=jenim, highest=realified,
             )
 
-        from ..parallel.dispatch import get_mesh
+        from ..parallel.dispatch import _ms_engine_for, get_mesh
 
         mesh = get_mesh()
+        # df64 device engine (ops/kubo_ms.py): exact bucket-conv H and
+        # velocity applications on the MXU — device mu at ~1e-12 of the
+        # CPU complex128 engine, so the device e2e gate holds at the
+        # reference 1e-6.  Falls back to the realified-f32 gather path
+        # when the cluster has no correction-free conv stencil.
+        ms_kubo = None
+        if realified and (mesh is None or loop_over == 1):
+            eng = _ms_engine_for(cl, hb.ee, lsh, hoh,
+                                 eeo if hoh else None,
+                                 enim if hoh else None)
+            if eng is not None and eng.gcorr is None \
+                    and eng.local is None:
+                try:
+                    from ..ops.kubo_ms import MSKubo
+
+                    ms_kubo = MSKubo(eng, v_a, v_b, vo_a, vo_b)
+                except ValueError as e:
+                    g_logger.info(f"ms Kubo engine unavailable ({e}); "
+                                  "using the gather engine")
+        if ms_kubo is not None:
+            for t in range(loop_over):
+                mu_t = ms_kubo.moments(_psiref_c(t), cond_ll,
+                                       float(a), float(b))
+                mu[:, :, :, :, t] = np.transpose(mu_t, (2, 3, 0, 1))
+                g_logger.info(f"Kubo moments (df64 conv engine) done "
+                              f"for {calctype} unit {t + 1}")
+            return mu
         if mesh is not None and loop_over > 1:
             # type / random-vector partition over the device mesh (the
             # reference's get_mpi_variables(rank, ntype),

@@ -191,17 +191,34 @@ def _ms_engine_for(cluster, hs, lsham, hoh, hso, enim, local=None):
     nd = st.ntot * 36
     per_chain = int(np.prod(st.dims)) * nd * 36 * 150
     budget = int(os.environ.get("RSLMTO_MS_HBM_BYTES", 9 << 30))
+    grid_shard = False
     if per_chain > budget:
         from ..utils.logger import g_logger
 
-        g_logger.info(
-            f"multi-site conv engine needs ~{per_chain/2**30:.1f} GiB "
-            f"per chain (> {budget/2**30:.1f} GiB budget); using the "
-            "gather engine")
-        return None
+        # beyond-HBM route: shard the cell grid over the mesh with
+        # ppermute halo exchange (ops/msconv_shard.py) — only for
+        # correction-free stencils (bulk crystals)
+        mesh = get_mesh()
+        ndev = (int(np.prod(list(mesh.shape.values())))
+                if mesh is not None else 1)
+        if (mesh is not None and local is None and st.atom_type is None
+                and per_chain // ndev <= budget):
+            grid_shard = True
+            g_logger.info(
+                f"multi-site conv engine: ~{per_chain/2**30:.1f} GiB "
+                f"per chain exceeds one chip; grid-sharding over "
+                f"{ndev} devices")
+        else:
+            g_logger.info(
+                f"multi-site conv engine needs ~{per_chain/2**30:.1f} "
+                f"GiB per chain (> {budget/2**30:.1f} GiB budget); "
+                "using the gather engine")
+            return None
     try:
-        return MSEngine(st, hs, lsham, hoh=hoh, hso=hso, enim=enim,
-                        local=local)
+        eng = MSEngine(st, hs, lsham, hoh=hoh, hso=hso, enim=enim,
+                       local=local)
+        eng._grid_shard = grid_shard
+        return eng
     except ValueError:
         return None
 
@@ -240,6 +257,14 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
         # TPU production path: multi-site df64 bucket-conv engine
         # (ops/msconv.py) — exact SpMV on the MXU, ~1e-11 vs complex128
         eng = _ms_engine_for(cluster, hs, lsham, hoh, hso, enim)
+    if eng is not None and getattr(eng, "_grid_shard", False):
+        # beyond-HBM: cell grid sharded over the full mesh with halo
+        # exchange; chains replicated (they would not fit one chip)
+        from ..ops.msconv_shard import block_lanczos_ms_sharded
+
+        p0 = np.asarray(psi0)
+        return block_lanczos_ms_sharded(eng, get_mesh(), eng.embed(p0),
+                                        lld)
     if mesh is None:
         if eng is not None:
             p0 = np.asarray(psi0)
@@ -418,6 +443,12 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
                              enim, local=ms_local)
     elif accel and (iz_onsite is None or np.array_equal(iz_onsite, iz)):
         eng = _ms_engine_for(cluster, hs, lsham, hoh, hso, enim)
+    if eng is not None and getattr(eng, "_grid_shard", False):
+        from ..ops.msconv_shard import chebyshev_moments_ms_sharded
+
+        p0 = np.asarray(psi0)
+        return _guard(chebyshev_moments_ms_sharded(
+            eng, get_mesh(), eng.embed(p0), lld, a, b))
     if mesh is None:
         if eng is not None:
             p0 = np.asarray(psi0)

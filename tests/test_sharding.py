@@ -118,3 +118,52 @@ def test_total_dos_psum(small_system):
     dtot = total_dos_psum(mesh, jnp.asarray(dens))
     np.testing.assert_allclose(np.asarray(dtot), dens.sum(axis=1),
                                atol=1e-12)
+
+
+def test_grid_sharded_block_matches_dense():
+    """Grid-sharded ms-conv block recursion (x-slab halo exchange,
+    ops/msconv_shard.py) vs the dense engine at 1e-10 — the beyond-HBM
+    route for clusters whose single-chain state exceeds one chip."""
+    from rslmtoasa_tpu.models.presets import build_synthetic_bcc
+    from rslmtoasa_tpu.ops.block_lanczos import block_start_vectors
+    from rslmtoasa_tpu.ops.msconv import MSEngine, build_ms_stencil
+    from rslmtoasa_tpu.ops.msconv_shard import block_lanczos_ms_sharded
+    from rslmtoasa_tpu.parallel.mesh import make_mesh
+
+    lld = 5
+    sys_ = build_synthetic_bcc(rc=8.0, lld=lld, nsp=2, hoh=True)
+    cl, hb = sys_.cluster, sys_.ham
+    lsham = hb.lsham
+    psi0 = block_start_vectors(cl.kk, [0, 1])
+    eng = MSEngine(build_ms_stencil(cl), hb.ee, lsham, hoh=True,
+                   hso=hb.eeo, enim=hb.enim)
+    grid = eng.embed(psi0)
+    a_ref, b_ref = eng.block_lanczos(grid, lld)
+    mesh = make_mesh(8)
+    a_sh, b_sh = block_lanczos_ms_sharded(eng, mesh, grid, lld)
+    np.testing.assert_allclose(a_sh, a_ref, atol=1e-10)
+    np.testing.assert_allclose(b_sh, b_ref, atol=1e-10)
+
+
+def test_grid_sharded_chebyshev_matches_dense():
+    from rslmtoasa_tpu.models.presets import build_synthetic_bcc
+    from rslmtoasa_tpu.ops.block_lanczos import block_start_vectors
+    from rslmtoasa_tpu.ops.msconv import MSEngine, build_ms_stencil
+    from rslmtoasa_tpu.ops.msconv_shard import (
+        chebyshev_moments_ms_sharded,
+    )
+    from rslmtoasa_tpu.parallel.mesh import make_mesh
+
+    lld = 5
+    a_s, b_s = 1.9, -0.2
+    sys_ = build_synthetic_bcc(rc=8.0, lld=lld, nsp=2)
+    cl, hb = sys_.cluster, sys_.ham
+    lsham = hb.lsham if hb.lsham is not None else np.zeros(
+        (hb.ee.shape[0], 18, 18), np.complex128)
+    psi0 = block_start_vectors(cl.kk, [0])
+    eng = MSEngine(build_ms_stencil(cl), hb.ee, lsham)
+    grid = eng.embed(psi0)
+    mu_ref = eng.chebyshev_moments(grid, lld, a_s, b_s)
+    mesh = make_mesh(8)
+    mu_sh = chebyshev_moments_ms_sharded(eng, mesh, grid, lld, a_s, b_s)
+    np.testing.assert_allclose(mu_sh, mu_ref, atol=1e-10)

@@ -10,7 +10,8 @@ their CPU images):
 1. block-Lanczos SCF step engine  (block_lanczos_split, +-HoH)
 2. exchange pair chains           (4-start-vector block recursion)
 3. Kubo two-sided moment block    (kubo_moments, realified f32 with
-   Precision.HIGHEST)
+   Precision.HIGHEST — the no-stencil fallback; plus the df64
+   ms-conv production engine, ops/kubo_ms.py, gated at 1e-8)
 4. conv-stencil df64 scalar Lanczos (the bench engine)
 5. fused Pallas flat-stencil df64 scalar Lanczos
 6. multi-site df64 conv engines   (ms-conv block-Lanczos + Chebyshev,
@@ -127,6 +128,16 @@ def main() -> int:
     scale = np.abs(mu_ref).max()
     check("kubo moments (TPU f32 vs CPU f64)", mu_dev / scale,
           mu_ref / scale, 2e-4)
+
+    # ---- 3b. df64 ms-conv Kubo (the production conductivity path) -----
+    from rslmtoasa_tpu.ops.kubo_ms import MSKubo
+    from rslmtoasa_tpu.ops.msconv import MSEngine, build_ms_stencil
+
+    eng = MSEngine(build_ms_stencil(sys_.cluster), hb.ee, lsham)
+    mk = MSKubo(eng, v_a, v_b, np.zeros_like(v_a), np.zeros_like(v_b))
+    mu_ms = mk.moments(psic, n_mom, 1.3, -0.2)
+    check("kubo moments (TPU df64 conv)", mu_ms / scale, mu_ref / scale,
+          1e-8)
 
     # ---- 4. conv-stencil df64 Lanczos (bench engine) -------------------
     from rslmtoasa_tpu.ops.lanczos import (
