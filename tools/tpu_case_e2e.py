@@ -26,6 +26,18 @@ sys.path.insert(0, "tests")
 import numpy as np
 
 
+def _timer_total(name):
+    """Sum of every timer-tree node named ``name`` (packing-cost audit:
+    VERDICT r3 weak #3 asks for the host packing share per case)."""
+    from rslmtoasa_tpu.utils.timer import g_timer
+
+    def walk(node):
+        tot = node.total if node.name == name else 0.0
+        return tot + sum(walk(c) for c in node.children.values())
+
+    return walk(g_timer.root)
+
+
 def main():
     import jax
 
@@ -64,7 +76,12 @@ def main():
                 good = False
                 print(f"  {e}")
             ok &= good
+            pack0 = getattr(main, "_pack_seen", 0.0)
+            pack = _timer_total("ms-pack")
+            main._pack_seen = pack
             print(f"SCF {name}: {dt:.1f}s wall  "
+                  f"(ms-pack {pack - pack0:.1f}s = "
+                  f"{100 * (pack - pack0) / max(dt, 1e-9):.1f}%)  "
                   f"{'PASS' if good else 'FAIL'}")
             shutil.rmtree(wd, ignore_errors=True)
 
