@@ -91,46 +91,55 @@ def main():
         from rslmtoasa_tpu.cli import run_calculation
         from rslmtoasa_tpu.config import JobConfig
 
+        # the FULL reference postproc matrix: exchange (jij/dij on bcc
+        # Fe, per-case tol 1e-4) and both fccPt Kubo conductivities
+        # (reference default tol 1e-6) — same per-case tolerances as
+        # the reference's own runner (tests/run_test.py)
         cases = json.load(open(
             "/root/reference/tests/postproc/cases.json"))["cases"]
-        for name in ("Example_exchange_conductivity_fccPt",
-                     "Example_exchange_conductivity_fccPt_hoh"):
-            case = next(c for c in cases if c["name"] == name)
+        for case in cases:
+            name = case["name"]
+            ref_path = os.path.join(
+                "/root/reference/tests/postproc/references", name,
+                "ref.json")
+            if not os.path.exists(ref_path):
+                continue
+            ref = json.load(open(ref_path))
             case_dir = os.path.join(
                 "/root/reference/tests/postproc/cases", case["case"])
-            ref = json.load(open(os.path.join(
-                "/root/reference/tests/postproc/references", name,
-                "ref.json")))
             wd = tempfile.mkdtemp(prefix="rslmto_e2e_")
             for f in os.listdir(case_dir):
                 shutil.copy(os.path.join(case_dir, f), wd)
             cfg = JobConfig.from_file(os.path.join(wd, "input.nml"))
             cfg.atoms.database = wd
             T.apply_patch(cfg, case.get("namelists", {}))
-            # generation-time energy window (tests/test_postproc_cases.py)
-            cfg.energy.fermi = -0.085837
-            cfg.energy.energy_min = -2.5
-            cfg.energy.energy_max = 1.2
+            if case["case"].startswith("conductivity"):
+                # generation-time energy window
+                # (tests/test_postproc_cases.py docstring)
+                cfg.energy.fermi = -0.085837
+                cfg.energy.energy_min = -2.5
+                cfg.energy.energy_max = 1.2
             t0 = time.time()
             rc = run_calculation(cfg, wd)
             dt = time.time() - t0
             good = rc == 0
+            abs_tol = case.get("abs_tol", 1e-6)
+            rel_tol = case.get("rel_tol", 1e-6)
             for spec in case.get("checks", {}).get("text", []):
-                dat = [l.split() for l in
-                       open(os.path.join(wd, spec["file"])).readlines()]
-                for row, cols in ref["text"][spec["file"]].items():
-                    for col, want in cols.items():
-                        if isinstance(want, float) and math.isnan(want):
-                            continue
-                        got = float(dat[int(row) - 1][int(col) - 1])
-                        g = abs(got - want) < 1e-6 + 1e-6 * abs(want)
-                        good = good and g
-                        if not g:
-                            print(f"  [{row},{col}] got {got:.6e} "
-                                  f"want {want:.6e} FAIL")
+                refs = {
+                    row: {c: v for c, v in cols.items()
+                          if not (isinstance(v, float) and math.isnan(v))}
+                    for row, cols in ref["text"][spec["file"]].items()
+                }
+                try:
+                    T.check_text(wd, dict(spec, _ref=refs), abs_tol,
+                                 rel_tol)
+                except AssertionError as e:
+                    good = False
+                    print(f"  {e}")
             ok &= good
-            print(f"COND {name}: {dt:.1f}s wall  "
-                  f"{'PASS' if good else 'FAIL'}")
+            print(f"POST {name}: {dt:.1f}s wall  "
+                  f"(tol {abs_tol:g})  {'PASS' if good else 'FAIL'}")
             shutil.rmtree(wd, ignore_errors=True)
 
     print("E2E:", "PASS" if ok else "FAIL")
