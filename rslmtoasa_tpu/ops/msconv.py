@@ -186,6 +186,110 @@ def _chunk_host(y, nchunks):
     return np.stack(chunks, 0)
 
 
+def _pack_geometry(st: MSStencil, ntype: int, nslots: int, d: int,
+                   nchunks: int = df64.DF64_CHUNKS):
+    """Hamiltonian-independent kernel-assembly tables, cached on the
+    stencil: device scatter/gather indices mapping the small chunk
+    table ch (nchunks, ntype, nslots, D, D) into the expanded DHWIO
+    conv kernel, plus the STRUCTURAL exactness groups.
+
+    Device-side assembly is the fix for round-3 weak #3 (per-iteration
+    host packing): the per-iteration upload shrinks from the expanded
+    kernel (27-55 MB bf16 through the tunnel) to the ~2 MB chunk
+    table; the index tables upload once per case.  Structural groups
+    (every existing (basis, slot) block counted dense) are slightly
+    more conservative than value-based counts — still exact, and
+    stable across SCF iterations (value-based groups could flip a
+    boundary between iterations and retrigger jit compilation).
+    """
+    key = ("_pack_geom", ntype, nslots, d, nchunks)
+    cache = getattr(st, "_pack_geom_cache", None)
+    if cache is None:
+        cache = {}
+        st._pack_geom_cache = cache
+    if key in cache:
+        return cache[key]
+    nb = st.ntot
+    r = np.abs(st.dcells.reshape(-1, 3)).max(axis=0)
+    kd, kh, kw = (int(2 * x + 1) for x in r)
+    nd = nb * d
+    kch = nchunks * nd
+    if kd * kh * kw * kch * kch >= 2 ** 31:
+        raise ValueError("conv kernel too large for i32 assembly "
+                         "indices")
+
+    # block-level enumeration: every valid (b_out, slot) x (p, q) with
+    # p + q < nchunks places ch[p, t, m] at tap (dcell + r), in-block
+    # (q, b_in), out-block (p + q, b_out)
+    taps, in0, out0, pidx, tidx, midx = [], [], [], [], [], []
+    for b_out in range(nb):
+        t = int(st.basis_type[b_out])
+        for m in range(nslots):
+            if not st.slot_ok[b_out, m]:
+                continue
+            b_in = int(st.nbasis[b_out, m])
+            tx, ty, tz = (int(v) for v in st.dcells[b_out, m] + r)
+            tap = (tx * kh + ty) * kw + tz
+            for p in range(nchunks):
+                for q in range(nchunks - p):
+                    taps.append(tap)
+                    in0.append(q * nd + b_in * d)
+                    out0.append((p + q) * nd + b_out * d)
+                    pidx.append(p)
+                    tidx.append(t)
+                    midx.append(m)
+    taps = np.asarray(taps, np.int64)
+    in0 = np.asarray(in0, np.int64)
+    out0 = np.asarray(out0, np.int64)
+    ii = np.arange(d)
+    # DHWIO flat: tap*K*K + in_ch*K + out_ch; element (i=row/out, j=col/in)
+    dst = (taps[:, None, None] * kch * kch
+           + (in0[:, None, None] + ii[None, None, :]) * kch
+           + (out0[:, None, None] + ii[None, :, None]))
+    src = (((np.asarray(pidx, np.int64) * ntype
+             + np.asarray(tidx, np.int64)) * nslots
+            + np.asarray(midx, np.int64))[:, None, None] * d * d
+           + ii[None, :, None] * d + ii[None, None, :])
+
+    # structural exactness groups (same greedy split as the value-based
+    # round-3 code, with every existing block counted fully dense)
+    nzb = np.zeros((kch, nchunks * nb), np.int64)
+    for k in range(len(taps)):
+        ob = out0[k]
+        ib = in0[k] // d
+        nzb[ob:ob + d, ib] += d
+    LIMIT = 4000
+    groups = []
+    start = 0
+    acc = np.zeros(kch, np.int64)
+    for bi in range(nchunks * nb):
+        t = nzb[:, bi]
+        if (acc + t).max() > LIMIT and bi > start:
+            groups.append((start * d, bi * d))
+            start = bi
+            acc = t.copy()
+        else:
+            acc += t
+    groups.append((start * d, nchunks * nb * d))
+
+    ent = {
+        "dst": jnp.asarray(dst.ravel().astype(np.int32)),
+        "src": jnp.asarray(src.ravel().astype(np.int32)),
+        "shape": (kd, kh, kw, kch, kch),
+        "radius": tuple(int(x) for x in r),
+        "groups": tuple(groups),
+    }
+    cache[key] = ent
+    return ent
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _assemble_kernel_jit(ch_f32, dst, src, shape):
+    flat = jnp.zeros((int(np.prod(shape)),), jnp.float32)
+    flat = flat.at[dst].add(ch_f32.ravel()[src])
+    return flat.reshape(shape).astype(jnp.bfloat16)
+
+
 def pack_ms_kernel_df64(hs: np.ndarray, st: MSStencil,
                         nchunks: int = df64.DF64_CHUNKS):
     """Bucket-conv kernel from realified per-type slot blocks.
@@ -194,57 +298,19 @@ def pack_ms_kernel_df64(hs: np.ndarray, st: MSStencil,
     onsite.  Returns (W bf16 DHWIO (KD, KH, KW, 7*ntot*D, 7*ntot*D),
     scale, radius, groups) where ``groups`` are input-channel split
     points that keep every partial conv's accumulation exact (see
-    module docstring).
+    module docstring).  Host work per call is only the chunking of the
+    small per-type table; the expanded kernel is assembled ON DEVICE
+    from cached geometry indices (:func:`_pack_geometry`).
     """
     hs = np.asarray(hs, np.float64)
     ntype, nslots, d = hs.shape[0], hs.shape[1], hs.shape[2]
-    nb = st.ntot
-    r = np.abs(st.dcells.reshape(-1, 3)).max(axis=0)
-    kd, kh, kw = (int(2 * x + 1) for x in r)
-
+    geo = _pack_geometry(st, ntype, nslots, d, nchunks)
     amax = float(np.max(np.abs(hs))) if hs.size else 1.0
     scale = df64._pow2ceil(amax) * 2.0
     ch = _chunk_host(hs / scale, nchunks)  # (nchunks, ntype, nslots, D, D)
-
-    nd = nb * d
-    w = np.zeros((nchunks * nd, nchunks * nd, kd, kh, kw), np.float32)
-    w5 = w.reshape(nchunks, nb, d, nchunks, nb, d, kd, kh, kw)
-    qs = np.arange(nchunks)
-    for b_out in range(nb):
-        t = int(st.basis_type[b_out])
-        for m in range(nslots):
-            if not st.slot_ok[b_out, m]:
-                continue
-            b_in = int(st.nbasis[b_out, m])
-            tx, ty, tz = (int(v) for v in st.dcells[b_out, m] + r)
-            for p in range(nchunks):
-                q = qs[:nchunks - p]
-                # bucket s = q + p for every q at once
-                w5[q + p, b_out, :, q, b_in, :, tx, ty, tz] += ch[p, t, m]
-
-    # exactness grouping: products are <= 2^12 quanta, f32 integer window
-    # is 2^24 -> each partial conv may contract at most 4096 nonzero
-    # kernel terms per output element.  Count per (out_ch, in D-block),
-    # split greedily on D-block boundaries.
-    nzb = (np.abs(w) > 0).sum(axis=(2, 3, 4))  # (out_ch, in_ch) tap counts
-    nblk = nchunks * nb
-    blk_terms = nzb.reshape(nchunks * nd, nblk, d).sum(axis=2)
-    LIMIT = 4000
-    groups = []
-    start = 0
-    acc = np.zeros(nchunks * nd, np.int64)
-    for bi in range(nblk):
-        t = blk_terms[:, bi]
-        if (acc + t).max() > LIMIT and bi > start:
-            groups.append((start * d, bi * d))
-            start = bi
-            acc = t.copy()
-        else:
-            acc += t
-    groups.append((start * d, nblk * d))
-    # DHWIO for the channel-minor NDHWC conv
-    return (jnp.asarray(w.transpose(2, 3, 4, 1, 0), jnp.bfloat16), scale,
-            tuple(int(x) for x in r), tuple(groups))
+    w = _assemble_kernel_jit(jnp.asarray(ch.astype(np.float32)),
+                             geo["dst"], geo["src"], geo["shape"])
+    return w, scale, geo["radius"], geo["groups"]
 
 
 def pack_ms_onsite_df64(mat: np.ndarray, st: MSStencil,
@@ -768,35 +834,36 @@ class MSEngine:
         with g_timer.section("ms-pack"):
             hs_r = realify_blocks(np.asarray(hs))
             ls_r = realify_blocks(np.asarray(lsham))
-            if self.hoh:
-                en_r = realify_blocks(np.asarray(enim))
-                hso_r = realify_blocks(np.asarray(hso))
-                self.w, self.scale, self.radius, self.groups = \
-                    pack_ms_kernel_df64(hs_r, st)
-                self.w_o, self.scale_o, rad_o, grp_o = \
-                    pack_ms_kernel_df64(hso_r, st)
-                if rad_o != self.radius:
-                    raise ValueError("hoh kernel radius mismatch")
-                # refine both partitions so each partial conv is exact
-                # for BOTH kernels
-                bounds = sorted({p for g in self.groups for p in g}
-                                | {p for g in grp_o for p in g})
-                self.groups = tuple(zip(bounds[:-1], bounds[1:]))
-                self.w_ons, self.scale_ons = pack_ms_onsite_df64(
-                    en_r + ls_r, st)
-                fam = (hs_r, hso_r, en_r + ls_r)
-            else:
-                hs_fold = hs_r.copy()
-                hs_fold[:, 0] += ls_r  # lsham folds into the onsite slot
-                self.w, self.scale, self.radius, self.groups = \
-                    pack_ms_kernel_df64(hs_fold, st)
-                self.w_o = self.w  # placeholder (same shape, unused)
-                self.scale_o = self.scale
-                nchunks = df64.DF64_CHUNKS
-                nd = nchunks * st.ntot * self.d
-                self.w_ons = jnp.zeros((nd, nd), jnp.bfloat16)
-                self.scale_ons = 1.0
-                fam = (hs_fold, None, None)
+            with g_timer.section("kernel"):
+                if self.hoh:
+                    en_r = realify_blocks(np.asarray(enim))
+                    hso_r = realify_blocks(np.asarray(hso))
+                    self.w, self.scale, self.radius, self.groups = \
+                        pack_ms_kernel_df64(hs_r, st)
+                    self.w_o, self.scale_o, rad_o, grp_o = \
+                        pack_ms_kernel_df64(hso_r, st)
+                    if rad_o != self.radius:
+                        raise ValueError("hoh kernel radius mismatch")
+                    # refine both partitions so each partial conv is
+                    # exact for BOTH kernels
+                    bounds = sorted({p for g in self.groups for p in g}
+                                    | {p for g in grp_o for p in g})
+                    self.groups = tuple(zip(bounds[:-1], bounds[1:]))
+                    self.w_ons, self.scale_ons = pack_ms_onsite_df64(
+                        en_r + ls_r, st)
+                    fam = (hs_r, hso_r, en_r + ls_r)
+                else:
+                    hs_fold = hs_r.copy()
+                    hs_fold[:, 0] += ls_r  # lsham -> onsite slot
+                    self.w, self.scale, self.radius, self.groups = \
+                        pack_ms_kernel_df64(hs_fold, st)
+                    self.w_o = self.w  # placeholder (same shape, unused)
+                    self.scale_o = self.scale
+                    nchunks = df64.DF64_CHUNKS
+                    nd = nchunks * st.ntot * self.d
+                    self.w_ons = jnp.zeros((nd, nd), jnp.bfloat16)
+                    self.scale_ons = 1.0
+                    fam = (hs_fold, None, None)
             self.mask_np = mask_channels(st, self.d)
             self.local = None
             if local is not None and int(local.get("nmax", 0)) > 0:
@@ -805,12 +872,14 @@ class MSEngine:
                 # onsite slot, and the reference applies lsham to hall
                 # rows too (block SpMV adds lsham[iz_onsite] for every
                 # row, recursion.f90 hop_b :1560)
-                self.local = self._build_local(local, hs_r, hso, st)
+                with g_timer.section("local"):
+                    self.local = self._build_local(local, hs_r, hso, st)
             # per-layer-type row corrections (surface slabs; impurity
             # re-typed zones): gather tables, one delta per (basis,type)
             self.gcorr = None
             if st.atom_type is not None:
-                self.gcorr = self._build_gcorr(st, fam)
+                with g_timer.section("gcorr"):
+                    self.gcorr = self._build_gcorr(st, fam)
 
     # -- geometry index tables (Hamiltonian-independent, cached on st) --
     def _geom(self):
