@@ -31,7 +31,6 @@ dryrun gate 1e-10):
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import numpy as np
 
