@@ -167,3 +167,25 @@ def test_grid_sharded_chebyshev_matches_dense():
     mesh = make_mesh(8)
     mu_sh = chebyshev_moments_ms_sharded(eng, mesh, grid, lld, a_s, b_s)
     np.testing.assert_allclose(mu_sh, mu_ref, atol=1e-10)
+
+
+def test_grid_shard_gate_engages(monkeypatch):
+    """The dispatch HBM gate routes oversized correction-free clusters
+    to the grid-sharded engine when a mesh exists, and to the gather
+    engine otherwise."""
+    from rslmtoasa_tpu.models.presets import build_synthetic_bcc
+    from rslmtoasa_tpu.parallel import dispatch
+
+    sys_ = build_synthetic_bcc(rc=8.0, lld=4, nsp=2)
+    cl, hb = sys_.cluster, sys_.ham
+    monkeypatch.setenv("RSLMTO_MS_HBM_BYTES", "20000000")  # < one chain, > chain/8
+    # with the 8-device mesh: grid-sharded engine
+    dispatch._mesh_cache.update(mesh=None, checked=False)
+    assert dispatch.get_mesh() is not None
+    eng = dispatch._ms_engine_for(cl, hb.ee, hb.lsham, False, None, None)
+    assert eng is not None and eng._grid_shard
+    # without a mesh: engine unavailable (gather fallback)
+    dispatch._mesh_cache.update(mesh=None, checked=True)
+    eng2 = dispatch._ms_engine_for(cl, hb.ee, hb.lsham, False, None, None)
+    assert eng2 is None
+    dispatch._mesh_cache.update(mesh=None, checked=False)
