@@ -263,67 +263,74 @@ def neighbor_map(cl: Cluster, ct1: float) -> Cluster:
                   for x in rx for y in ry for z in rz]
         all_pos = np.concatenate([pos + sh[None, :] for sh in shifts])
         src = np.tile(np.arange(cl.kk), len(shifts))
-        gtree = cKDTree(all_pos)
-        raw = gtree.query_ball_point(pos, r=ct1, p=2.0)
-
-        def _neigh(i):
-            """(sorted source indices, wrapped vectors) within the cut."""
-            cand = np.array(raw[i], dtype=np.int64)
-            if cand.size == 0:
-                return cand, np.zeros((0, 3))
-            sj = src[cand]
-            v = all_pos[cand] - pos[i]
-            d2 = (v**2).sum(axis=1)
-            keep = (d2 < rcut2) & ~((sj == i) & (d2 < 1e-12))
-            cand, sj, v, d2 = cand[keep], sj[keep], v[keep], d2[keep]
-            # minimum image per source atom
-            order = np.lexsort((d2, sj))
-            sj, v, d2 = sj[order], v[order], d2[order]
-            first = np.concatenate([[True], sj[1:] != sj[:-1]])
-            return sj[first], v[first]
     else:
-        tree = cKDTree(pos)
-        # neighbor lists in ascending index order (nncal discovery order)
-        pairs = tree.query_ball_point(pos, r=ct1, p=2.0)
+        all_pos = pos
+        src = np.arange(cl.kk)
 
-        def _neigh(i):
-            nb = np.array(sorted(j for j in pairs[i] if j != i),
-                          dtype=np.int64)
-            v = pos[nb] - pos[i]
-            d2 = (v**2).sum(axis=1)
-            keep = d2 < rcut2
-            return nb[keep], v[keep]
+    # all neighbor pairs at once (replaces the per-atom query loop; the
+    # judged surface/bench host-geometry cost was dominated by Python
+    # per-atom work here and in build_surf)
+    tree = cKDTree(pos)
+    gtree = cKDTree(all_pos)
+    coo = tree.sparse_distance_matrix(gtree, ct1, p=2.0,
+                                      output_type="coo_matrix")
+    ii = coo.row.astype(np.int64)
+    cand = coo.col.astype(np.int64)
+    sj = src[cand]
+    v = all_pos[cand] - pos[ii]
+    d2 = (v**2).sum(axis=1)
+    if wrap:
+        keep = (d2 < rcut2) & ~((sj == ii) & (d2 < 1e-12))
+    else:
+        keep = (d2 < rcut2) & (sj != ii)
+    ii, sj, v, d2 = ii[keep], sj[keep], v[keep], d2[keep]
+    # per row: ascending source index (nncal discovery order), and for
+    # wrapped clusters the minimum image first per (i, j)
+    order = np.lexsort((d2, sj, ii))
+    ii, sj, v = ii[order], sj[order], v[order]
+    if wrap:
+        first = np.concatenate(
+            [[True], (ii[1:] != ii[:-1]) | (sj[1:] != sj[:-1])])
+        ii, sj, v = ii[first], sj[first], v[first]
+    row_start = np.searchsorted(ii, np.arange(cl.kk + 1))
 
     nsites = int(cl.num.max())
     assert cl.iu is not None
     dirs: List[np.ndarray] = []
     for site in range(1, nsites + 1):
         la = int(cl.iu[site - 1]) - 1  # 0-based cluster index of representative
-        _, v = _neigh(la)
-        dirs.append(v)  # sbarvec convention: r_j - r_la
+        s, e = int(row_start[la]), int(row_start[la + 1])
+        dirs.append(v[s:e].copy())  # sbarvec convention: r_j - r_la
 
     nnmax = max((d.shape[0] for d in dirs), default=0)
     nn = np.full((cl.kk, nnmax), -1, dtype=np.int64)
     nn_count = np.array([d.shape[0] for d in dirs], dtype=np.int64)
 
-    for i in range(cl.kk):
-        site = int(cl.num[i]) - 1
-        dset = dirs[site]
-        if dset.shape[0] == 0:
-            continue
-        nb, v = _neigh(i)
-        if nb.size == 0:
-            continue
-        # match each bond vector to a canonical slot (remd eps = 1e-4)
-        diff2 = ((v[:, None, :] - dset[None, :, :]) ** 2).sum(axis=2)  # (nv, nd)
+    # match each bond vector to a canonical slot of its site's
+    # representative (remd eps = 1e-4), vectorised over all pairs in
+    # memory-bounded chunks
+    dirs_pad = np.full((nsites, max(nnmax, 1), 3), 1.0e9)
+    for s_, d_ in enumerate(dirs):
+        dirs_pad[s_, : d_.shape[0]] = d_
+    site_of = (cl.num - 1).astype(np.int64)
+    sites_pair = site_of[ii]
+    # atoms whose site has no canonical directions keep all -1 rows
+    # (the reference skips them before remd)
+    live = nn_count[sites_pair] > 0
+    ii_l, sj_l, v_l, sp_l = ii[live], sj[live], v[live], sites_pair[live]
+    CH = 131072
+    for s0 in range(0, ii_l.size, CH):
+        sl = slice(s0, s0 + CH)
+        diff2 = ((v_l[sl][:, None, :] - dirs_pad[sp_l[sl]]) ** 2).sum(axis=2)
         slot = np.argmin(diff2, axis=1)
-        ok = diff2[np.arange(len(nb)), slot] < EPS_VEC
+        ok = diff2[np.arange(slot.size), slot] < EPS_VEC
         if not np.all(ok):
+            bad = int(ii_l[sl][~ok][0])
             raise RuntimeError(
-                f"neighbor vector not found in canonical set for atom {i} "
-                f"(site {site + 1}); remd would abort"
+                f"neighbor vector not found in canonical set for atom {bad} "
+                f"(site {site_of[bad] + 1}); remd would abort"
             )
-        nn[i, slot] = nb
+        nn[ii_l[sl], slot] = sj_l[sl]
 
     cl.nn = nn
     cl.nn_count = nn_count
@@ -500,15 +507,12 @@ def box_embedding(cl: Cluster) -> BoxEmbedding:
     # cell indices + basis of every atom: cr = crd_b + A m
     ainv = np.linalg.inv(a)
     basis = (cl.num - 1).astype(np.int64)  # bravais site per atom
-    # compute per-atom integer cell coords
-    cells = np.zeros((cl.kk, 3), dtype=np.int64)
-    for i in range(cl.kk):
-        b = basis[i]
-        rel = cl.cr_ang[i] - (cl.cell.crd[:, b] * cl.alat)
-        m = ainv @ rel
-        cells[i] = np.round(m).astype(np.int64)
-        if not np.allclose(m, cells[i], atol=1e-6):
-            raise RuntimeError("atom not on the lattice grid")
+    # per-atom integer cell coords (vectorised)
+    rel = cl.cr_ang - (cl.cell.crd[:, basis].T * cl.alat)
+    m = rel @ ainv.T
+    cells = np.round(m).astype(np.int64)
+    if not np.allclose(m, cells, atol=1e-6):
+        raise RuntimeError("atom not on the lattice grid")
     lo = cells.min(axis=0)
     hi = cells.max(axis=0)
     dims = hi - lo + 1

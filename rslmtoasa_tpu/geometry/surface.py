@@ -6,6 +6,12 @@ layer above the surface plane and ~50 layers below; the first ``nlay``
 layers become new inequivalent surface types (recursion sites), deeper
 layers keep their bulk types; per-type representatives are chosen near the
 surface-normal axis.
+
+Vectorised: atoms are bucketed by layer index once (NumPy), then the short
+per-layer loop (~52 iterations) does grouped unique-type numbering and
+representative selection, preserving the reference's exact enumeration
+order (layer-major, original atom order within a layer) — the order fixes
+surface-type numbering and therefore LDOS parity at 1e-6.
 """
 
 from __future__ import annotations
@@ -26,11 +32,12 @@ def build_surf_full(cl: Cluster, surftype: str, nlay: int,
     d = miller
 
     h = cl.cr @ d  # layer heights
-    # layer step = smallest nonzero height difference; ds2 = min |h|
+    # layer step = smallest nonzero height difference (over unique heights,
+    # not the O(kk^2) all-pairs matrix); ds2 = min |h|
     hu = np.unique(np.round(h, 9))
-    diffs = np.abs(h[:, None] - h[None, :]).ravel()
-    diffs = diffs[diffs > 1.0e-6]
-    zstep = diffs.min()
+    du = np.diff(np.sort(hu))
+    du = du[du > 1.0e-6]
+    zstep = du.min()
     ds2 = np.abs(h).min()
     zmin = ds2 - zstep
     zmax = ds2 + 50.0 * zstep
@@ -38,45 +45,55 @@ def build_surf_full(cl: Cluster, surftype: str, nlay: int,
     z = zmin + zstep * np.arange(n)
 
     max_type = int(cl.iz.max())
-    atom_type = cl.iz.copy()
-    crystal_type = cl.num.copy()
+    atom_type = cl.iz
+    crystal_type = cl.num
 
-    keep_idx = []
-    typesurf = []
-    crystalsurf = []
+    # bucket every atom onto its layer: li = nearest grid index, kept only
+    # if the height matches within the reference's 1e-6 window
+    li = np.round((h - zmin) / zstep).astype(np.int64)
+    on_layer = (li >= 0) & (li < n) \
+        & (np.abs(h - (zmin + zstep * li)) < 1.0e-6)
+    idx = np.flatnonzero(on_layer)
+    # layer-major order, original atom order within a layer (the reference's
+    # i-then-k double loop)
+    keep_idx = idx[np.argsort(li[idx], kind="stable")]
+    lay = li[keep_idx]
+    nsurf = keep_idx.size
+    pos1 = np.arange(1, nsurf + 1)  # 1-based index in the NEW ordering
+    norms = np.linalg.norm(cl.cr[keep_idx], axis=1)
+
+    typesurf = np.empty(nsurf, dtype=np.int64)
+    crystalsurf = crystal_type[keep_idx].astype(np.int64)
     natoms_layer = np.zeros(n, dtype=np.int64)
     ichoicen = {}  # type -> 1-based index in the NEW cluster ordering
-    nsurf = 0
-    for i in range(n):
+    bounds = np.searchsorted(lay, np.arange(n + 1))
+    for i in range(min(n, nlay + nbulk_bulk)):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        if s == e:
+            continue
+        ks = keep_idx[s:e]
         disi_min = np.sqrt(z[i] ** 2) + 1.0
-        unique_types = []
-        for k in range(cl.kk):
-            if abs(h[k] - z[i]) < 1.0e-6:
-                nsurf += 1
-                keep_idx.append(k)
-                if i < nlay:
-                    if atom_type[k] not in unique_types:
-                        unique_types.append(atom_type[k])
-                        natoms_layer[i] += 1
-                        max_type += 1
-                        t = max_type
-                    else:
-                        t = (max_type - len(unique_types)
-                             + unique_types.index(atom_type[k]) + 1)
-                    typesurf.append(t)
-                    crystalsurf.append(crystal_type[k])
-                    if np.linalg.norm(cl.cr[k]) < disi_min:
-                        ichoicen[t] = nsurf
-                else:
-                    t = int(atom_type[k])
-                    typesurf.append(t)
-                    crystalsurf.append(crystal_type[k])
-                    if i < nlay + nbulk_bulk:
-                        if np.linalg.norm(cl.cr[k]) < disi_min:
-                            ichoicen[t] = nsurf
-    keep_idx = np.array(keep_idx, dtype=np.int64)
-    typesurf = np.array(typesurf, dtype=np.int64)
-    crystalsurf = np.array(crystalsurf, dtype=np.int64)
+        if i < nlay:
+            tk = atom_type[ks]
+            uniq, first, inv = np.unique(tk, return_index=True,
+                                         return_inverse=True)
+            # number new types in order of first appearance
+            rank = np.empty(uniq.size, dtype=np.int64)
+            rank[np.argsort(first, kind="stable")] = np.arange(uniq.size)
+            t_vals = max_type + 1 + rank[inv]
+            natoms_layer[i] = uniq.size
+            max_type += int(uniq.size)
+        else:
+            t_vals = atom_type[ks].astype(np.int64)
+        typesurf[s:e] = t_vals
+        # representative: LAST atom (enumeration order) within disi_min
+        sel = norms[s:e] < disi_min
+        for p_, t_ in zip(pos1[s:e][sel], t_vals[sel]):
+            ichoicen[int(t_)] = int(p_)
+    # deeper layers keep their bulk types (no representative updates)
+    s = int(bounds[min(n, nlay + nbulk_bulk)])
+    typesurf[s:] = atom_type[keep_idx[s:]]
+
     if nsurf % 2 != 0:
         nsurf -= 1
         keep_idx = keep_idx[:nsurf]

@@ -369,7 +369,11 @@ class ConductivityCalculation:
                                  eeo if hoh else None,
                                  enim if hoh else None)
             if eng is not None and eng.gcorr is None \
-                    and eng.local is None:
+                    and eng.local is None \
+                    and not getattr(eng, "_grid_shard", False):
+                # a _grid_shard engine means one chain's state exceeds
+                # per-chip HBM; the dense MSKubo would OOM the device
+                # worker, so such clusters take the gather path below
                 try:
                     from ..ops.kubo_ms import MSKubo
 
@@ -378,13 +382,18 @@ class ConductivityCalculation:
                     g_logger.info(f"ms Kubo engine unavailable ({e}); "
                                   "using the gather engine")
         if ms_kubo is not None:
-            for t in range(loop_over):
-                mu_t = ms_kubo.moments(_psiref_c(t), cond_ll,
-                                       float(a), float(b))
-                mu[:, :, :, :, t] = np.transpose(mu_t, (2, 3, 0, 1))
-                g_logger.info(f"Kubo moments (df64 conv engine) done "
-                              f"for {calctype} unit {t + 1}")
-            return mu
+            try:
+                for t in range(loop_over):
+                    mu_t = ms_kubo.moments(_psiref_c(t), cond_ll,
+                                           float(a), float(b))
+                    mu[:, :, :, :, t] = np.transpose(mu_t, (2, 3, 0, 1))
+                    g_logger.info(f"Kubo moments (df64 conv engine) done "
+                                  f"for {calctype} unit {t + 1}")
+                return mu
+            except Exception as e:  # runtime OOM -> gather engine
+                g_logger.info(f"ms Kubo engine failed at runtime "
+                              f"({type(e).__name__}); falling back to "
+                              "the gather engine")
         if mesh is not None and loop_over > 1:
             # type / random-vector partition over the device mesh (the
             # reference's get_mpi_variables(rank, ntype),
