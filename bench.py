@@ -108,15 +108,18 @@ def main():
           file=sys.stderr)
     # roofline accounting (BASELINE.md "speed-of-light" target): the
     # kernel's bf16 MXU flops per recursion step are one (C, 7*18,
-    # grid) x (7*18, 7*18, 27) conv — 8 real flops per logical complex
-    # MAC x 49 df64 chunk pairs x 27/nslots tap padding x 1/occupancy
-    # box padding per logical nnz.
-    conv_flops = 2.0 * c * ncells * 27 * (7 * 18) ** 2 * (lld - 1)
+    # grid) x (7*18, 7*18, ntaps) tap-filtered conv — 8 real flops per
+    # logical complex MAC x 49 df64 chunk pairs x ntaps/nslots tap
+    # padding x 1/occupancy box padding per logical nnz.  ntaps ==
+    # occupied stencil taps only (pack_flat_kernel skips empty taps).
+    ntaps = len(dxs)
+    conv_flops = 2.0 * c * ncells * ntaps * (7 * 18) ** 2 * (lld - 1)
     tf = conv_flops / dt / 1e12
     peak = 197.0  # TPU v5e bf16 peak TF/s
+    flops_per_nnz = conv_flops / work
     print(f"# conv bf16: {tf:.1f} TF/s ({100*tf/peak:.0f}% of v5e peak); "
-          f"{conv_flops/work:.0f} bf16 flops/nnz "
-          f"(8 complex x 49 df64 x {27/nslots:.2f} taps x "
+          f"{flops_per_nnz:.0f} bf16 flops/nnz "
+          f"(8 complex x 49 df64 x {ntaps/nslots:.2f} taps x "
           f"{ncells*1.0/kk:.2f} box)", file=sys.stderr)
 
     # correctness guard: the device coefficients must match a host f64
@@ -157,11 +160,19 @@ def main():
     print(f"# numpy baseline: {base_time*1e3:.1f} ms -> {gnnz_np:.3f} Gnnz/s",
           file=sys.stderr)
 
+    # occupancy-adjusted kernel figures in the parsed JSON (VERDICT r4
+    # item 9): engine gains and workload-shape changes stay separable
+    # round over round — sustained_tf_s is the kernel's own bf16 rate,
+    # flops_per_nnz the workload's roofline cost model
     print(json.dumps({
         "metric": "bsr_recursion_spmv_throughput",
         "value": round(gnnz, 4),
         "unit": "Gnnz/s",
         "vs_baseline": round(gnnz / gnnz_np, 3),
+        "sustained_tf_s": round(tf, 2),
+        "flops_per_nnz": round(flops_per_nnz, 1),
+        "box_occupancy": round(kk / ncells, 4),
+        "ms_per_step": round(dt / (lld - 1) * 1e3, 2),
     }))
 
 

@@ -43,6 +43,17 @@ def synthetic_bcc_atom(label: str = "X") -> SymbolicAtom:
     pot.ql[2, :, 1] = [0.006, 0.007, 0.012]
     pot.xi_p[:] = 0.012
     pot.xi_d[:] = 0.004
+    # orthogonal-representation parameters consistent with the bands,
+    # so predls (potential.py:167) is well-defined AND idempotent:
+    # with c == enu (cme = 0) it maps center->center, width->srdel
+    # scaled by wow^(1/2-I) ~ 1 — the exchange driver's predls call
+    # (exchange.f90 ordering) then cannot poison a re-run
+    pot.enu = pot.center_band.copy()
+    pot.c = pot.center_band.copy()
+    pot.srdel = pot.width_band.copy()
+    from ..atoms.potential import QM_CANONICAL as _QM
+
+    pot.qpar = np.broadcast_to(_QM[:3, None], (3, 2)).copy() + 0.05
     return SymbolicAtom(element=el, potential=pot, label=label)
 
 

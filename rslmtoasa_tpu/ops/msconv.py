@@ -379,12 +379,17 @@ def extract_scaled(x_ds, nchunks: int = df64.DF64_CHUNKS):
 
 
 def conv_chunks(w, xq, fx, scale_w, mask_chan, radius, groups, dims,
-                nchunks: int = df64.DF64_CHUNKS):
+                nchunks: int = df64.DF64_CHUNKS, halo_x: int = 0):
     """Bucket-conv SpMV from pre-extracted chunks -> df64 pair.
 
     xq: bf16 (C, K, ncells) chunks with factor fx; w bf16 DHWIO (or
-    (I, O) for the onsite 1-tap kernel); mask_chan (nd, ncells) f32;
-    dims the static (nx, ny, nz) of the flattened cell axis.
+    (I, O) for the onsite 1-tap kernel); mask_chan (nd, ncells_out)
+    f32; dims the static (nx, ny, nz) of the flattened cell axis.
+
+    ``halo_x > 0``: the x axis of ``xq``/``dims`` is pre-extended by
+    ``halo_x`` boundary planes on each side (the grid-sharded slab
+    engines concatenate ppermute halos) — the conv then runs VALID
+    along x, producing ``nx - 2*halo_x`` output planes.
 
     Two execution modes, chosen by a flop/bytes model:
 
@@ -400,18 +405,23 @@ def conv_chunks(w, xq, fx, scale_w, mask_chan, radius, groups, dims,
       df64 target).
     """
     c = xq.shape[0]
-    ncells = xq.shape[-1]
     onsite = w.ndim == 2
     kout = w.shape[-1]
     nd = kout // nchunks
+    out_dims = (dims[0] - 2 * halo_x,) + tuple(dims[1:]) if halo_x \
+        else dims
+    ncells = int(np.prod(out_dims))
 
     def run(cin0, cin1, out0, out1):
         xs = xq[:, cin0:cin1]
         if onsite:
             return jnp.einsum("cin,io->cno", xs, w[cin0:cin1, out0:out1],
                               preferred_element_type=jnp.float32)
-        xg = jnp.moveaxis(xs, 1, -1).reshape((c,) + dims + (cin1 - cin0,))
+        xg = jnp.moveaxis(xs, 1, -1).reshape((c,) + tuple(dims)
+                                             + (cin1 - cin0,))
         pad = [(int(r), int(r)) for r in radius]
+        if halo_x:
+            pad[0] = (0, 0)  # x pre-padded by the exchanged halo
         o = lax.conv_general_dilated(
             xg, w[..., cin0:cin1, out0:out1], window_strides=(1, 1, 1),
             padding=pad, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
@@ -990,8 +1000,12 @@ class MSEngine:
         cells_i = st.cells[:nmax]
         # the hall neighbors come from the same neighbor map as the
         # stencil slots, so their reach never exceeds the tap radius —
-        # required for the stage plan's ball bound to cover them
-        reach = np.abs(cells_j - cells_i[:, None]).max(axis=(0, 1))
+        # required for the stage plan's ball bound to cover them.
+        # Absent slots gather (masked) zeros from the clamped index 0
+        # and must not enter the bound (their cells_j is meaningless).
+        diff = np.abs(cells_j - cells_i[:, None])
+        diff[absent] = 0
+        reach = diff.max(axis=(0, 1))
         if (reach > np.asarray(self.radius)).any():
             raise ValueError("hall neighbor outside stencil radius")
         cellj = _ravel_cells(cells_j, st.dims).astype(np.int32)

@@ -196,13 +196,13 @@ def _ms_engine_for(cluster, hs, lsham, hoh, hso, enim, local=None):
         from ..utils.logger import g_logger
 
         # beyond-HBM route: shard the cell grid over the mesh with
-        # ppermute halo exchange (ops/msconv_shard.py) — only for
-        # correction-free stencils (bulk crystals)
+        # ppermute halo exchange (ops/msconv_shard.py); corrected
+        # stencils (surface layer types, impurity hall rows) ride the
+        # same route with per-shard gather-correction tables
         mesh = get_mesh()
         ndev = (int(np.prod(list(mesh.shape.values())))
                 if mesh is not None else 1)
-        if (mesh is not None and local is None and st.atom_type is None
-                and per_chain // ndev <= budget):
+        if mesh is not None and per_chain // ndev <= budget:
             grid_shard = True
             g_logger.info(
                 f"multi-site conv engine: ~{per_chain/2**30:.1f} GiB "

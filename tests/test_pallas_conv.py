@@ -78,9 +78,11 @@ def test_flat_spmv_matches_conv_engine(small_system):
     assert np.abs(vg - ref).max() <= 1e-12 * scale
 
 
-def test_flat_lanczos_matches_complex128(small_system):
+@pytest.mark.parametrize("roll", [False, True])
+def test_flat_lanczos_matches_complex128(small_system, roll):
     """Full Haydock recursion through the Pallas kernel vs the complex128
-    ELL engine (``crecal`` conventions, recursion.f90:3423)."""
+    ELL engine (``crecal`` conventions, recursion.f90:3423) — both the
+    blocked-window and the rolling-DMA kernels."""
     sys_, st, fs, hs_split = small_system
     hb = sys_.ham
     blk = hb.ee[:, :, :9, :9]
@@ -93,6 +95,6 @@ def test_flat_lanczos_matches_complex128(small_system):
     p0 = pc.flat_start_vectors(fs, [0, 3], 18, orbitals=range(9))
     a, b2 = pc.lanczos_coefficients_flat_df64(
         wt, hsc, fs.mask, p0, lld, dxs=dxs, colshifts=colshifts,
-        interpret=True)
+        interpret=True, roll=roll)
     assert np.abs(a - np.asarray(a_ref)).max() < 1e-11
     assert np.abs(b2 - np.asarray(b_ref)).max() < 1e-11

@@ -145,7 +145,8 @@ def test_grid_sharded_block_matches_dense():
     np.testing.assert_allclose(b_sh, b_ref, atol=1e-10)
 
 
-def test_grid_sharded_chebyshev_matches_dense():
+@pytest.mark.parametrize("hoh", [False, True])
+def test_grid_sharded_chebyshev_matches_dense(hoh):
     from rslmtoasa_tpu.models.presets import build_synthetic_bcc
     from rslmtoasa_tpu.ops.block_lanczos import block_start_vectors
     from rslmtoasa_tpu.ops.msconv import MSEngine, build_ms_stencil
@@ -156,17 +157,102 @@ def test_grid_sharded_chebyshev_matches_dense():
 
     lld = 5
     a_s, b_s = 1.9, -0.2
-    sys_ = build_synthetic_bcc(rc=8.0, lld=lld, nsp=2)
+    sys_ = build_synthetic_bcc(rc=8.0, lld=lld, nsp=2, hoh=hoh)
     cl, hb = sys_.cluster, sys_.ham
     lsham = hb.lsham if hb.lsham is not None else np.zeros(
         (hb.ee.shape[0], 18, 18), np.complex128)
     psi0 = block_start_vectors(cl.kk, [0])
-    eng = MSEngine(build_ms_stencil(cl), hb.ee, lsham)
+    eng = MSEngine(build_ms_stencil(cl), hb.ee, lsham, hoh=hoh,
+                   hso=hb.eeo if hoh else None,
+                   enim=hb.enim if hoh else None)
     grid = eng.embed(psi0)
     mu_ref = eng.chebyshev_moments(grid, lld, a_s, b_s)
     mesh = make_mesh(8)
     mu_sh = chebyshev_moments_ms_sharded(eng, mesh, grid, lld, a_s, b_s)
     np.testing.assert_allclose(mu_sh, mu_ref, atol=1e-10)
+
+
+def _reduced_case_system(reference_dir, case: str, rc: float, hoh: bool):
+    import os
+    import shutil
+    import tempfile
+
+    from rslmtoasa_tpu.config import JobConfig
+    from rslmtoasa_tpu.models.bulk import BulkSystem
+
+    src = str(reference_dir / f"tests/scf/cases/{case}")
+    wd = tempfile.mkdtemp(prefix="rslmto_shard_")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), wd)
+    cfg = JobConfig.from_file(os.path.join(wd, "input.nml"))
+    cfg.atoms.database = wd
+    cfg.control.nsp = 2
+    cfg.hamiltonian.hoh = hoh
+    cfg.lattice.rc = rc
+    cfg.lattice.ndim = 30000
+    sys_ = BulkSystem.build(cfg, wd)
+    sys_.build_hamiltonian()
+    shutil.rmtree(wd, ignore_errors=True)
+    return sys_
+
+
+def test_grid_sharded_block_surface_matches_dense(reference_dir):
+    """Grid-sharded block recursion on a CORRECTED stencil (surface
+    per-layer types -> gcorr gather corrections routed to the owning
+    x-slab) vs the dense engine at 1e-10 — the beyond-HBM route for
+    surface slabs (VERDICT r4 missing #2)."""
+    from rslmtoasa_tpu.ops.block_lanczos import block_start_vectors
+    from rslmtoasa_tpu.ops.msconv import MSEngine, build_ms_stencil
+    from rslmtoasa_tpu.ops.msconv_shard import block_lanczos_ms_sharded
+    from rslmtoasa_tpu.parallel.mesh import make_mesh
+
+    lld = 5
+    sys_ = _reduced_case_system(reference_dir, "surface/fccCu001",
+                                rc=18.0, hoh=True)
+    cl, hb = sys_.cluster, sys_.ham
+    st = build_ms_stencil(cl)
+    assert st.atom_type is not None
+    eng = MSEngine(st, hb.ee, hb.lsham, hoh=True, hso=hb.eeo,
+                   enim=hb.enim)
+    assert eng.gcorr is not None
+    rec = [int(j) - 1 for j in cl.irec][:2]
+    psi0 = block_start_vectors(cl.kk, rec)
+    grid = eng.embed(psi0)
+    a_ref, b_ref = eng.block_lanczos(grid, lld)
+    mesh = make_mesh(8)
+    a_sh, b_sh = block_lanczos_ms_sharded(eng, mesh, grid, lld)
+    np.testing.assert_allclose(a_sh, a_ref, atol=1e-10)
+    np.testing.assert_allclose(b_sh, b_ref, atol=1e-10)
+
+
+def test_grid_sharded_block_impurity_matches_dense(reference_dir):
+    """Grid-sharded block recursion with impurity hall-row local
+    corrections (per-atom deltas owned by their x-slab) vs the dense
+    engine at 1e-10 (VERDICT r4 missing #2)."""
+    from rslmtoasa_tpu.ops.block_lanczos import block_start_vectors
+    from rslmtoasa_tpu.ops.msconv import MSEngine, build_ms_stencil
+    from rslmtoasa_tpu.ops.msconv_shard import block_lanczos_ms_sharded
+    from rslmtoasa_tpu.parallel.mesh import make_mesh
+
+    lld = 5
+    sys_ = _reduced_case_system(reference_dir, "impurity/B2FeCo",
+                                rc=16.0, hoh=True)
+    cl, hb = sys_.cluster, sys_.ham
+    assert hb.blocks is not None and cl.nmax > 0
+    st = build_ms_stencil(cl)
+    eng = MSEngine(st, hb.ee, hb.lsham, hoh=True, hso=hb.eeo,
+                   enim=hb.enim,
+                   local={"nmax": cl.nmax, "cols": hb.cols,
+                          "hall": hb.hall, "hallo": hb.hallo})
+    assert eng.local is not None
+    rec = [int(j) - 1 for j in cl.irec]
+    psi0 = block_start_vectors(cl.kk, rec)
+    grid = eng.embed(psi0)
+    a_ref, b_ref = eng.block_lanczos(grid, lld)
+    mesh = make_mesh(8)
+    a_sh, b_sh = block_lanczos_ms_sharded(eng, mesh, grid, lld)
+    np.testing.assert_allclose(a_sh, a_ref, atol=1e-10)
+    np.testing.assert_allclose(b_sh, b_ref, atol=1e-10)
 
 
 def test_grid_shard_gate_engages(monkeypatch):
