@@ -187,9 +187,12 @@ def _ms_engine_for(cluster, hs, lsham, hoh, hso, enim, local=None):
     # bytes model (replaces the round-3 RSLMTO_MS_IMP_CELLS atom-count
     # gate): a single chain column-batch must fit the per-chip budget —
     # a runtime OOM on the axon backend crashes the TPU worker process,
-    # so prediction is the only safe gate
-    nd = st.ntot * 36
-    per_chain = int(np.prod(st.dims)) * nd * 36 * 150
+    # so prediction is the only safe gate.  d-aware: spin-sector (9x9)
+    # problems need 4x less than the full 18x18 block state, so a
+    # cluster too big for the full engine may still fit per sector.
+    d2 = 2 * int(np.asarray(hs).shape[-1])
+    nd = st.ntot * d2
+    per_chain = int(np.prod(st.dims)) * nd * d2 * 150
     budget = int(os.environ.get("RSLMTO_MS_HBM_BYTES", 9 << 30))
     grid_shard = False
     if per_chain > budget:
@@ -221,6 +224,72 @@ def _ms_engine_for(cluster, hs, lsham, hoh, hso, enim, local=None):
         return eng
     except ValueError:
         return None
+
+
+def _spin_diag(m) -> bool:
+    """True when every 18x18 block of ``m`` has exactly zero
+    spin-off-diagonal (up-down / down-up) 9x9 blocks."""
+    if m is None:
+        return True
+    m = np.asarray(m)
+    return (not np.count_nonzero(m[..., :9, 9:])
+            and not np.count_nonzero(m[..., 9:, :9]))
+
+
+def _spin_sectors(hs, lsham, hso, enim, psi0, ms_local):
+    """Collinear spin-sector decoupling (nsp<=2, no SOC).
+
+    When H, eeo, enim, the SOC table and the start-block columns are all
+    spin-block-diagonal, the 18-wide block recursion decouples EXACTLY
+    into two independent 9-wide recursions: a_ll = psi^H H psi, B^2, B,
+    B^-1 and psi stay spin-block-diagonal at every step (the up columns
+    never acquire down rows and vice versa), so running the 9x9 sectors
+    separately reproduces the 18x18 recursion to roundoff.  The
+    reference always processes the full 18x18 blocks
+    (``recursion.f90`` ``hop_b`` :1560) — on the MXU those zero
+    spin-off-diagonal blocks are real work, so the split is a 4x flop
+    cut on every collinear case, and both sector calls share one
+    compiled executable (identical shapes, the kernels are runtime
+    operands).
+
+    Returns [(hs, lsham, hso, enim, psi0, ms_local)] per sector, or
+    ``None`` when the problem does not decouple.
+    """
+    if (np.asarray(psi0).shape[-1] != 18
+            or os.environ.get("RSLMTO_NO_SPIN_SPLIT")):
+        return None
+    if not (_spin_diag(hs) and _spin_diag(lsham) and _spin_diag(hso)
+            and _spin_diag(enim) and _spin_diag(psi0)):
+        return None
+    if ms_local is not None and not (
+            _spin_diag(ms_local.get("hall"))
+            and _spin_diag(ms_local.get("hallo"))):
+        return None
+
+    def cut(m, sl):
+        return None if m is None else np.ascontiguousarray(
+            np.asarray(m)[..., sl, sl])
+
+    out = []
+    for s in range(2):
+        sl = slice(9 * s, 9 * s + 9)
+        ml = None
+        if ms_local is not None:
+            ml = dict(ms_local, hall=cut(ms_local["hall"], sl),
+                      hallo=cut(ms_local.get("hallo"), sl))
+        out.append((cut(hs, sl), cut(lsham, sl), cut(hso, sl),
+                    cut(enim, sl), cut(psi0, sl), ml))
+    return out
+
+
+def _spin_assemble(xu, xd):
+    """Reassemble per-sector (..., 9, 9) results into spin-block-diagonal
+    (..., 18, 18) arrays (the off-diagonal blocks are exactly zero)."""
+    xu = np.asarray(xu)
+    out = np.zeros(xu.shape[:-2] + (18, 18), xu.dtype)
+    out[..., :9, :9] = xu
+    out[..., 9:, 9:] = np.asarray(xd)
+    return out
 
 
 def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
@@ -257,6 +326,26 @@ def block_lanczos_auto(hs, lsham, iz, cols, psi0, lld, *, hoh=False,
         # TPU production path: multi-site df64 bucket-conv engine
         # (ops/msconv.py) — exact SpMV on the MXU, ~1e-11 vs complex128
         eng = _ms_engine_for(cluster, hs, lsham, hoh, hso, enim)
+    if eng is None:
+        # collinear spin-sector split — ONLY for the non-conv paths
+        # (CPU einsums, the emulated-f64 gather engine, the wavefront
+        # engine), where the work is flop-bound and two 9x9-sector
+        # recursions are a 4x cut.  The conv engine's per-step cost is
+        # launch/relayout-floor bound at these widths (measured: a
+        # quarter-flop 9x9 sector ran at the SAME wall as the full
+        # 18x18 step), so splitting there doubles the sequential scan
+        # count for no kernel-time win.
+        sec = _spin_sectors(hs, lsham, hso, enim, psi0, ms_local)
+        if sec is not None:
+            outs = [
+                block_lanczos_auto(h_, l_, iz, cols, p_, lld, hoh=hoh,
+                                   hso=o_, enim=e_, iz_onsite=iz_onsite,
+                                   starts=starts, cluster=cluster,
+                                   ms_local=ml_)
+                for (h_, l_, o_, e_, p_, ml_) in sec
+            ]
+            return (_spin_assemble(outs[0][0], outs[1][0]),
+                    _spin_assemble(outs[0][1], outs[1][1]))
     if eng is not None and getattr(eng, "_grid_shard", False):
         # beyond-HBM: cell grid sharded over the full mesh with halo
         # exchange; chains replicated (they would not fit one chip)
@@ -443,6 +532,33 @@ def chebyshev_moments_auto(hs, lsham, iz, cols, psi0, lld, a, b, *,
                              enim, local=ms_local)
     elif accel and (iz_onsite is None or np.array_equal(iz_onsite, iz)):
         eng = _ms_engine_for(cluster, hs, lsham, hoh, hso, enim)
+    if eng is None:
+        # collinear spin-sector split for the non-conv paths (see
+        # block_lanczos_auto): the mu_n = psi0^H T_n(H) psi0 blocks
+        # decouple exactly like the block recursion.  The divergence
+        # guard must see the ASSEMBLED 18x18 block sums (the reference
+        # sums the full block, recursion.f90:2594), so the sector calls
+        # run unguarded except for the finite check.
+        sec = _spin_sectors(hs, lsham, hso, enim, psi0, ms_local)
+        if sec is not None:
+            outs = [
+                chebyshev_moments_auto(h_, l_, iz, cols, p_, lld, a, b,
+                                       hoh=hoh, hso=o_, enim=e_,
+                                       iz_onsite=iz_onsite,
+                                       starts=starts, guard=False,
+                                       cluster=cluster, ms_local=ml_)
+                for (h_, l_, o_, e_, p_, ml_) in sec
+            ]
+            mu = _spin_assemble(outs[0], outs[1])
+            if guard:
+                last = mu[-1].real.reshape(mu.shape[1], -1).sum(axis=1)
+                if (last > 1.0e3).any():
+                    from ..utils.logger import g_logger
+
+                    g_logger.fatal(
+                        "Chebyshev moments did not converge. Check "
+                        "energy limits energy_min and energy_max")
+            return mu
     if eng is not None and getattr(eng, "_grid_shard", False):
         from ..ops.msconv_shard import chebyshev_moments_ms_sharded
 

@@ -244,14 +244,19 @@ def test_ms_staging_with_corrections(reference_dir):
     assert eng.local is not None and eng.gcorr is not None
     g = eng.embed(psi0)
     bbox = eng.start_bbox(psi0)
-    plan = eng.stage_plan(bbox, lld - 1, first_ball=1)
+    # force=True bypasses the compile-aware work threshold (at lld=5 the
+    # saving is below the 40% bar) — this test is about CORRECTNESS of
+    # the staged path with corrections, so stage regardless
+    plan = eng.stage_plan(bbox, lld - 1, first_ball=1, force=True)
     assert plan is not None and len(plan) > 1, \
         f"staging should engage with corrections (plan={plan})"
-    a_st, b_st = eng.block_lanczos(g, lld, start_bbox=bbox)
+    a_st, b_st = eng.block_lanczos(g, lld, start_bbox=bbox, plan=plan)
     a_dn, b_dn = eng.block_lanczos(g, lld)
     np.testing.assert_allclose(a_st, a_dn, atol=1e-11)
     np.testing.assert_allclose(b_st, b_dn, atol=1e-11)
-    mu_st = eng.chebyshev_moments(g, lld, 1.9, -0.2, start_bbox=bbox)
+    plan_c = eng.stage_plan(bbox, lld, first_ball=2, force=True)
+    mu_st = eng.chebyshev_moments(g, lld, 1.9, -0.2, start_bbox=bbox,
+                                  plan=plan_c)
     mu_dn = eng.chebyshev_moments(g, lld, 1.9, -0.2)
     np.testing.assert_allclose(mu_st, mu_dn, atol=1e-11)
     shutil.rmtree(wd, ignore_errors=True)
