@@ -220,8 +220,16 @@ def _pack_geometry(st: MSStencil, ntype: int, nslots: int, d: int,
 
     # block-level enumeration: every valid (b_out, slot) x (p, q) with
     # p + q < nchunks places ch[p, t, m] at tap (dcell + r), in-block
-    # (q, b_in), out-block (p + q, b_out)
-    taps, in0, out0, pidx, tidx, midx = [], [], [], [], [], []
+    # (q, b_in), out-block (p + q, b_out).  Each destination block has
+    # at most ONE source (neighbor slots are distinct (offset, basis)
+    # pairs), so assembly is a dense block GATHER — the old element
+    # scatter-add serialized on the TPU (measured ~8 s of ms-pack for
+    # surface-class kernels) and its expanded index upload was
+    # ~70-150 MB per process.
+    nblk = nchunks * nb
+    zidx = nchunks * ntype * nslots  # appended zero block
+    gidx = np.full((kd * kh * kw, nblk, nblk), zidx, np.int64)
+    taps_np, in0_np, out0_np = [], [], []
     for b_out in range(nb):
         t = int(st.basis_type[b_out])
         for m in range(nslots):
@@ -232,24 +240,18 @@ def _pack_geometry(st: MSStencil, ntype: int, nslots: int, d: int,
             tap = (tx * kh + ty) * kw + tz
             for p in range(nchunks):
                 for q in range(nchunks - p):
-                    taps.append(tap)
-                    in0.append(q * nd + b_in * d)
-                    out0.append((p + q) * nd + b_out * d)
-                    pidx.append(p)
-                    tidx.append(t)
-                    midx.append(m)
-    taps = np.asarray(taps, np.int64)
-    in0 = np.asarray(in0, np.int64)
-    out0 = np.asarray(out0, np.int64)
-    ii = np.arange(d)
-    # DHWIO flat: tap*K*K + in_ch*K + out_ch; element (i=row/out, j=col/in)
-    dst = (taps[:, None, None] * kch * kch
-           + (in0[:, None, None] + ii[None, None, :]) * kch
-           + (out0[:, None, None] + ii[None, :, None]))
-    src = (((np.asarray(pidx, np.int64) * ntype
-             + np.asarray(tidx, np.int64)) * nslots
-            + np.asarray(midx, np.int64))[:, None, None] * d * d
-           + ii[None, :, None] * d + ii[None, None, :])
+                    ib = q * nb + b_in
+                    ob = (p + q) * nb + b_out
+                    if gidx[tap, ib, ob] != zidx:
+                        raise ValueError(
+                            "duplicate kernel block in stencil")
+                    gidx[tap, ib, ob] = (p * ntype + t) * nslots + m
+                    taps_np.append(tap)
+                    in0_np.append(ib * d)
+                    out0_np.append(ob * d)
+    taps = np.asarray(taps_np, np.int64)
+    in0 = np.asarray(in0_np, np.int64)
+    out0 = np.asarray(out0_np, np.int64)
 
     # structural exactness groups (same greedy split as the value-based
     # round-3 code, with every existing block counted fully dense)
@@ -273,9 +275,9 @@ def _pack_geometry(st: MSStencil, ntype: int, nslots: int, d: int,
     groups.append((start * d, nchunks * nb * d))
 
     ent = {
-        "dst": jnp.asarray(dst.ravel().astype(np.int32)),
-        "src": jnp.asarray(src.ravel().astype(np.int32)),
+        "gidx": jnp.asarray(gidx.astype(np.int32)),
         "shape": (kd, kh, kw, kch, kch),
+        "d": d,
         "radius": tuple(int(x) for x in r),
         "groups": tuple(groups),
     }
@@ -283,11 +285,20 @@ def _pack_geometry(st: MSStencil, ntype: int, nslots: int, d: int,
     return ent
 
 
-@partial(jax.jit, static_argnames=("shape",))
-def _assemble_kernel_jit(ch_f32, dst, src, shape):
-    flat = jnp.zeros((int(np.prod(shape)),), jnp.float32)
-    flat = flat.at[dst].add(ch_f32.ravel()[src])
-    return flat.reshape(shape).astype(jnp.bfloat16)
+@partial(jax.jit, static_argnames=("shape", "d"))
+def _assemble_kernel_jit(ch_f32, gidx, shape, d):
+    """Dense block-gather kernel assembly: ch_f32 is the small chunk
+    table (nchunks, ntype, nslots, d, d); gidx maps every (tap,
+    in-block, out-block) to its source chunk block (or the appended
+    zero block).  DHWIO element (i=row/out, j=col/in): kernel[tap,
+    ib*d+j, ob*d+i] = ch[gidx[tap, ib, ob]][i, j]."""
+    chz = jnp.concatenate(
+        [ch_f32.reshape(-1, d, d),
+         jnp.zeros((1, d, d), jnp.float32)], axis=0)
+    blocks = chz[gidx]  # (T, IB, OB, i, j)
+    t_, ib, ob = gidx.shape
+    w = blocks.transpose(0, 1, 4, 2, 3).reshape(t_, ib * d, ob * d)
+    return w.reshape(shape).astype(jnp.bfloat16)
 
 
 def pack_ms_kernel_df64(hs: np.ndarray, st: MSStencil,
@@ -309,7 +320,7 @@ def pack_ms_kernel_df64(hs: np.ndarray, st: MSStencil,
     scale = df64._pow2ceil(amax) * 2.0
     ch = _chunk_host(hs / scale, nchunks)  # (nchunks, ntype, nslots, D, D)
     w = _assemble_kernel_jit(jnp.asarray(ch.astype(np.float32)),
-                             geo["dst"], geo["src"], geo["shape"])
+                             geo["gidx"], geo["shape"], geo["d"])
     return w, scale, geo["radius"], geo["groups"]
 
 
